@@ -1,0 +1,293 @@
+"""Simulation configuration.
+
+Parses the reference's ``parameters.txt`` format (line-oriented ``key = value``
+with ``//`` comments; reference: src/input_parser.cpp) into a typed
+:class:`KMCConfig`, and owns the device *layer table* which the reference
+hard-codes at compile time (src/structure_input.h:8-50).  Here the layer table
+is data: the reference's table is the default and every field can be
+overridden from the parameter file via ``num_layers`` / ``layer_<i>_<key>``
+keys or programmatically.
+
+Deliberate differences from the reference parser (quirks we do NOT replicate,
+documented in SURVEY.md §2.2):
+  * keys are matched as whole tokens, not substrings,
+  * ``verbose`` does not clobber ``log_to_file`` (input_parser.cpp:46-48),
+  * explicit ``0.0`` values are accepted (input_parser.cpp:330-334 rejects
+    them).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .constants import COULOMB_K, M_0
+
+
+@dataclass
+class Layer:
+    """One device layer with zero-field activation energies [eV].
+
+    Mirrors the reference ``Layer`` struct (src/utils.h:63-72) plus its
+    compile-time initialisation (src/structure_input.h).
+    """
+
+    type: str = "oxide"
+    E_gen_0: float = 0.0
+    E_rec_1: float = 0.0
+    E_diff_2: float = 0.0
+    E_diff_3: float = 0.0
+    start_x: float = 0.0
+    end_x: float = 0.0
+
+
+def default_layers() -> List[Layer]:
+    """The reference's TiN-HfO2/Ti-TiN stack (src/structure_input.h:10-50)."""
+    return [
+        Layer("contact", 0.0, 0.0, 0.0, 0.76, -22.0, 0.0),
+        Layer("interface", 3.93, 0.0, 1.09, 0.76, 0.0, 3.0),
+        Layer("oxide", 3.93, 0.0, 1.09, 0.76, 3.0, 48.1431),
+        Layer("interface", 1.66, 0.0, 1.09, 0.76, 48.1431, 52.6431),
+        Layer("contact", 1.73, 0.0, 0.0, 2.8, 52.6431, 90.0),
+    ]
+
+
+@dataclass
+class KMCConfig:
+    # random seeds
+    rnd_seed: int = 1                      # device RNG (substoichiometric init)
+    rnd_seed_kmc: int = 1                  # KMC event RNG (structure_input.h:8)
+
+    # restart
+    restart: bool = False
+    restart_xyz_file: str = ""
+
+    # I/O
+    log_freq: int = 1
+    output_freq: int = 1
+    log_to_file: bool = True
+    verbose: bool = False
+    output_dir: str = "."
+
+    # structure
+    atom_xyz_file: str = ""
+    interstitial_xyz_file: str = ""
+    pristine: bool = False
+    initial_vacancy_concentration: float = 0.0
+    lattice: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    freq: float = 10e13                    # attempt frequency [1/s]
+    nn_dist: float = 3.5                   # neighbour cutoff [Angstrom]
+    pbc: bool = False
+    shift: bool = False
+    shifts: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+
+    # contact geometry
+    num_atoms_first_layer: int = 0
+    num_layers_contact: int = 0
+    num_atoms_contact: int = 0
+    num_atoms_reservoir: int = 0
+    metals: List[str] = field(default_factory=lambda: ["Ti", "N"])
+
+    # module toggles
+    solve_potential: bool = False
+    solve_current: bool = False
+    solve_heating_global: bool = False
+    solve_heating_local: bool = False
+    perturb_structure: bool = False
+
+    # biasing
+    V_switch: List[float] = field(default_factory=list)    # [V]
+    t_switch: List[float] = field(default_factory=list)    # [s]
+    Icc: float = 1e30                      # compliance current [uA]
+    Rs: float = 0.0                        # series resistance [Ohm]
+
+    # potential solver
+    G_coeff: float = 1.0
+    sigma: float = 3.5e-10                 # gaussian broadening [m]
+    epsilon: float = 23.0                  # relative permittivity [1]
+
+    # current solver (tunneling)
+    m_r: float = 0.85                      # relative effective mass [1]
+    V0: float = 1.6                        # defect state energy [eV]
+    alpha: List[float] = field(default_factory=lambda: [0.1])
+
+    # temperature solver
+    k_therm: float = 1.1                   # [W/mK]
+    background_temp: float = 300.0         # [K]
+    dissipation_constant: float = 1e-13    # global model [J/Ks]
+    small_step: float = 1e-17              # [s]
+    event_time: float = 0.0
+    delta_t: float = 1e-13                 # local model step [s]
+    delta: float = 1.0
+    power_adjustment_term: float = 1.0
+    L_char: float = 3.5e-10                # characteristic length [m]
+    k_th_metal: float = 29.0               # [W/mK]
+    k_th_non_vacancy: float = 0.5          # [W/mK]
+    k_th_vacancies: float = 5.0            # [W/mK]
+    c_p: float = 1.92                      # [J/K cm^3]
+    t_ox: float = 52.6838e-10              # oxide thickness [m]
+    A: float = 0.0                         # device area [m^2]
+
+    # layer table (replaces the reference's compile-time structure_input.h)
+    layers: List[Layer] = field(default_factory=default_layers)
+
+    # --- framework extensions (not in the reference) ---
+    precision: str = "f64"                 # "f64" | "f32" compute precision
+    solver_tol: float = 1e-12              # CG relative tolerance
+    solver_maxiter: int = 50000            # CG iteration cap (reference warns at 50k)
+    selection: str = "two_level"           # "two_level" | "flat" event selection
+    max_events_per_superstep: int = 10000  # safety bound for the on-device loop
+
+    # ------------------------------------------------------------------
+    # derived parameters (reference: input_parser.cpp:391-398)
+    # ------------------------------------------------------------------
+    @property
+    def high_G(self) -> float:
+        return self.G_coeff * 1.0
+
+    @property
+    def low_G(self) -> float:
+        return self.G_coeff * 1e-8
+
+    @property
+    def k(self) -> float:
+        """Screened Coulomb prefactor [N m^2 / C^2]."""
+        return COULOMB_K / self.epsilon
+
+    @property
+    def k_th_interface(self) -> float:
+        return self.k_th_non_vacancy + (
+            self.k_th_vacancies - self.k_th_non_vacancy
+        ) * self.initial_vacancy_concentration
+
+    @property
+    def tau(self) -> float:
+        """Thermal rate constant [1/s]."""
+        return self.k_th_interface / (self.L_char * self.L_char * self.c_p * 1e6)
+
+    @property
+    def m_e(self) -> float:
+        """Effective electron mass [kg]."""
+        return self.m_r * M_0
+
+
+_BOOL_KEYS = {
+    "restart", "pristine", "shift", "pbc", "log_to_file", "verbose",
+    "solve_potential", "solve_current", "solve_heating_global",
+    "solve_heating_local", "perturb_structure",
+}
+_INT_KEYS = {
+    "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq",
+    "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
+    "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
+    "num_layers",
+}
+_FLOAT_KEYS = {
+    "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",
+    "epsilon", "m_r", "V0", "k_therm", "background_temp",
+    "dissipation_constant", "small_step", "event_time", "delta_t", "delta",
+    "power_adjustment_term", "L_char", "k_th_metal", "k_th_non_vacancy",
+    "k_th_vacancies", "c_p", "t_ox", "G_coeff", "solver_tol",
+}
+_VEC_FLOAT_KEYS = {"lattice", "shifts", "V_switch", "t_switch", "alpha", "A"}
+_VEC_STR_KEYS = {"metals"}
+_STR_KEYS = {
+    "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
+    "precision", "selection", "output_dir",
+}
+# reference key name -> config field name
+_ALIASES = {"attempt_frequency": "freq"}
+
+_LAYER_KEY = re.compile(r"^layer_(\d+)_(type|E_gen_0|E_rec_1|E_diff_2|E_diff_3|start_x|end_x)$")
+
+
+def _parse_value(key: str, raw: str):
+    raw = raw.replace(";", " ")
+    toks = raw.split()
+    if key in _BOOL_KEYS:
+        return bool(int(float(toks[0])))
+    if key in _INT_KEYS:
+        return int(float(toks[0]))
+    if key in _FLOAT_KEYS or key in _ALIASES:
+        return float(toks[0])
+    if key in _VEC_FLOAT_KEYS:
+        vals = []
+        for t in toks:
+            t = t.rstrip(",").rstrip(";")
+            if not t:
+                continue
+            try:
+                vals.append(float(t))
+            except ValueError:
+                continue  # e.g. the "*" in "A = w * h" (input_parser.cpp:351-366)
+        return vals
+    if key in _VEC_STR_KEYS:
+        return list(toks)
+    if key in _STR_KEYS:
+        return toks[-1] if toks else ""
+    return None
+
+
+def parse_parameters(path: str) -> KMCConfig:
+    """Parse a reference-compatible ``parameters.txt`` into a KMCConfig.
+
+    Compatible with the reference format (src/input_parser.cpp): ``//``
+    comments, ``key = value`` lines, vectors as whitespace/comma separated
+    floats.  The special key ``A`` multiplies its components together
+    (input_parser.cpp:235-241).  Extra keys unknown to the reference (layer
+    table, precision, solver knobs) are also accepted.
+    """
+    cfg = KMCConfig()
+    layer_overrides = {}
+    num_layers: Optional[int] = None
+
+    with open(path) as f:
+        for line in f:
+            line = line.split("//", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, raw = line.split("=", 1)
+            key = key.strip()
+            raw = raw.strip()
+            if not key or not raw:
+                continue
+
+            m = _LAYER_KEY.match(key)
+            if m:
+                idx, fname = int(m.group(1)), m.group(2)
+                layer_overrides.setdefault(idx, {})[fname] = (
+                    raw.split()[0] if fname == "type" else float(raw.split()[0])
+                )
+                continue
+            if key == "num_layers":
+                num_layers = int(float(raw.split()[0]))
+                continue
+
+            field_name = _ALIASES.get(key, key)
+            if field_name not in {f.name for f in dataclasses.fields(KMCConfig)}:
+                continue
+            val = _parse_value(key, raw)
+            if val is None:
+                continue
+            if key == "A":
+                prod = 1.0
+                for v in val:
+                    prod *= v
+                val = prod
+            setattr(cfg, field_name, val)
+
+    # assemble the layer table
+    if num_layers is not None:
+        base = default_layers()
+        cfg.layers = [
+            base[i] if i < len(base) else Layer() for i in range(num_layers)
+        ]
+    for idx, over in sorted(layer_overrides.items()):
+        while idx >= len(cfg.layers):
+            cfg.layers.append(Layer())
+        for fname, v in over.items():
+            setattr(cfg.layers[idx], fname, v)
+
+    return cfg

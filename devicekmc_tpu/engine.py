@@ -1,0 +1,292 @@
+"""Simulation driver: bias sweep, superstep composition, logging, snapshots.
+
+Mirrors the reference main loop (src/kmc_main.cpp:26-299): for each bias
+point (V_switch[i], t_switch[i]) solve the CB-edge Laplace problem once, then
+run KMC supersteps — charge -> potential -> KMC events -> power -> heat —
+until the accumulated KMC clock exceeds t_switch[i] or the compliance
+current trips.  Output goes to ``output.txt`` with reference-compatible keys
+(consumed by the postprocessing suite) and periodic xyz snapshots per bias
+point in ``Results_<Vd>/``.
+
+TPU design: each phase is a jitted pure function threading one SimState
+pytree; ``fused=True`` compiles the whole superstep into a single XLA
+program (no host sync between phases — the per-phase timing keys are then
+reported as a single fused time).  The reference's GPUBuffers host<->device
+shuttling (src/gpu_buffers.cpp) has no equivalent here: state lives on
+device, and snapshots pull it back only every ``log_freq`` steps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import KMCConfig
+from .physics import charge as charge_mod
+from .physics import current as current_mod
+from .physics import events as events_mod
+from .physics import heat as heat_mod
+from .physics import potential as potential_mod
+from .state import Geometry, PhysParams, SimState, build_simulation
+from .structure import write_xyz
+
+
+# ----------------------------------------------------------------------------
+# jitted phases
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _phase_charge(geom, params, state):
+    return charge_mod.update_charge(geom, state)
+
+
+@jax.jit
+def _phase_potential(geom, params, state, Vd):
+    state, m1 = potential_mod.solve_boundary_potential(geom, params, state, Vd)
+    state = potential_mod.poisson_gridless(geom, params, state)
+    return state, m1
+
+
+@jax.jit
+def _phase_cb_edge(geom, params, state, Vd):
+    return potential_mod.solve_cb_edge(geom, params, state, Vd)
+
+
+@jax.jit
+def _phase_events(geom, params, state):
+    return events_mod.execute_superstep(geom, params, state)
+
+
+@jax.jit
+def _phase_power(geom, params, state, Vd):
+    return current_mod.update_power(geom, params, state, Vd)
+
+
+@jax.jit
+def _phase_heat(geom, params, heat, state, step_time):
+    return heat_mod.update_temperature(geom, params, heat, state, step_time)
+
+
+def make_superstep(geom: Geometry, params: PhysParams, heat):
+    """Build the fused jitted superstep: all enabled phases in one XLA
+    program.  Returns (state, step_time, metrics).
+
+    geom/heat are passed as traced arguments (not closure constants) so the
+    compiled program does not embed the big static arrays as literals.
+    """
+
+    def superstep_impl(geom, params, heat, state: SimState, Vd):
+        metrics: Dict = {}
+        if params.solve_potential:
+            state, m = charge_mod.update_charge(geom, state)
+            metrics.update(m)
+            state, m = potential_mod.solve_boundary_potential(
+                geom, params, state, Vd
+            )
+            metrics.update(m)
+            state = potential_mod.poisson_gridless(geom, params, state)
+
+        step_time = jnp.asarray(0.0, params.dtype)
+        if params.perturb_structure:
+            res = events_mod.execute_superstep(geom, params, state)
+            state, step_time = res.state, res.step_time
+            metrics["n_events"] = res.n_events
+
+        if params.solve_current:
+            state, m = current_mod.update_power(geom, params, state, Vd)
+            metrics.update(m)
+            if params.solve_heating_global or params.solve_heating_local:
+                state, m = heat_mod.update_temperature(
+                    geom, params, heat, state, step_time
+                )
+                metrics.update(m)
+
+        return state, step_time, metrics
+
+    jitted = jax.jit(superstep_impl)
+
+    def superstep(state: SimState, Vd):
+        return jitted(geom, params, heat, state, Vd)
+
+    return superstep
+
+
+# ----------------------------------------------------------------------------
+# driver
+# ----------------------------------------------------------------------------
+
+class Simulation:
+    """End-to-end KMC simulation (reference: src/kmc_main.cpp main loop)."""
+
+    def __init__(
+        self,
+        cfg: KMCConfig,
+        elements: Optional[np.ndarray] = None,
+        coords: Optional[np.ndarray] = None,
+        fused: bool = True,
+    ):
+        self.cfg = cfg
+        self.geom, self.params, self.state = build_simulation(
+            cfg, elements=elements, coords=coords
+        )
+        if cfg.solve_heating_local:
+            elems_np = np.asarray(self.state.element)
+            self.heat = heat_mod.build_heat_model(
+                self.geom, self.params, cfg, elems_np,
+                np.asarray(self.geom.neigh_idx),
+            )
+        else:
+            self.heat = heat_mod.empty_heat_model(self.params)
+        self.fused = fused
+        self._superstep = make_superstep(self.geom, self.params, self.heat)
+        self._buffer = []
+        self.output_path = os.path.join(cfg.output_dir, "output.txt")
+
+    # -- logging ---------------------------------------------------------
+    def _log(self, text: str):
+        self._buffer.append(text)
+
+    def _flush(self):
+        if self._buffer:
+            with open(self.output_path, "a") as f:
+                f.write("".join(self._buffer))
+            self._buffer = []
+
+    def write_snapshot(self, step_count: int, folder: str):
+        os.makedirs(folder, exist_ok=True)
+        state = self.state
+        phi = np.asarray(state.potential_boundary + state.potential_charge)
+        power = np.asarray(state.power)
+        write_xyz(
+            os.path.join(folder, f"snapshot_{step_count}.xyz"),
+            np.asarray(state.element),
+            np.asarray(self.geom.coords),
+            extra_cols=[phi, power],
+        )
+
+    # -- checkpointing (full state, beyond the reference's xyz restart) --
+    def save_checkpoint(self, path: str):
+        state = self.state
+        np.savez(
+            path,
+            **{
+                f: np.asarray(getattr(state, f))
+                for f in (
+                    "element", "charge", "potential_boundary",
+                    "potential_charge", "CB_edge", "power", "temperature",
+                    "T_bg", "key", "kmc_time", "I_macro", "P_tot",
+                    "virtual_potentials", "step_count",
+                )
+            },
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        kw = {}
+        for f in data.files:
+            arr = jnp.asarray(data[f])
+            cur = getattr(self.state, f)
+            if hasattr(cur, "dtype") and f != "key":
+                arr = arr.astype(cur.dtype)
+            kw[f] = arr
+        self.state = self.state.replace(**kw)
+
+    # -- main loop -------------------------------------------------------
+    def run(self, max_steps_per_bias: Optional[int] = None) -> None:
+        cfg = self.cfg
+        if os.path.exists(self.output_path):
+            os.remove(self.output_path)
+
+        for vt in range(len(cfg.V_switch)):
+            Vd = float(cfg.V_switch[vt])
+            t_end = float(cfg.t_switch[vt])
+            self.run_bias_point(Vd, t_end, max_steps=max_steps_per_bias)
+        self._flush()
+
+    def run_bias_point(
+        self, Vd: float, t_end: float, max_steps: Optional[int] = None
+    ) -> Dict:
+        cfg, params = self.cfg, self.params
+        self._log("--------------------------------\n")
+        self._log(f"Applied Voltage = {Vd:g} V\n")
+        self._log("--------------------------------\n")
+
+        if params.solve_current:
+            t0 = time.perf_counter()
+            self.state, _ = _phase_cb_edge(self.geom, params, self.state, Vd)
+            jax.block_until_ready(self.state.CB_edge)
+            self._log(
+                f"Z - calculation time - CB edge [s]: "
+                f"{time.perf_counter() - t0:.6g}\n"
+            )
+
+        folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
+        os.makedirs(folder, exist_ok=True)
+        self._log(f"Created folder: {folder}\n")
+
+        self.state = self.state.replace(
+            kmc_time=jnp.zeros_like(self.state.kmc_time)
+        )
+        I_macro = float(self.state.I_macro)
+        step_count = 0
+        kmc_time = 0.0
+        summary: Dict = {}
+
+        while kmc_time < t_end:
+            t_start = time.perf_counter()
+            self._log("--------------\n")
+            self._log(f"KMC step count: {step_count}\n")
+            V_vcm = Vd - I_macro * cfg.Rs
+            self._log(f"V_vcm: {V_vcm:g}\n")
+
+            if step_count % cfg.log_freq == 0:
+                self.write_snapshot(step_count, folder)
+
+            self.state, step_time, metrics = self._superstep(self.state, Vd)
+            step_time = float(step_time)
+            jax.block_until_ready(self.state.element)
+            dt_step = time.perf_counter() - t_start
+
+            if params.perturb_structure:
+                kmc_time += step_time
+            else:
+                # field-solver debug mode: force-end after 10 steps
+                # (src/kmc_main.cpp:212-218)
+                if step_count > 10:
+                    kmc_time = t_end
+            self.state = self.state.replace(
+                kmc_time=jnp.asarray(kmc_time, params.dtype)
+            )
+
+            I_macro = float(self.state.I_macro)
+            result = {k: float(v) for k, v in metrics.items()}
+            result["Z - calculation time - KMC superstep [s]"] = dt_step
+            summary = result
+
+            self._log(f"KMC time is: {kmc_time:g}\n")
+            for k in sorted(result):
+                self._log(f"{k}: {result[k]:.10g}\n")
+
+            if step_count % cfg.output_freq == 0:
+                self._flush()
+            step_count += 1
+
+            if I_macro > cfg.Icc * 1e-6:
+                self._log("I_macro > Icc, compliance current reached.\n")
+                break
+            if max_steps is not None and step_count >= max_steps:
+                break
+            self._log("--------------------------------------\n")
+
+        self.write_snapshot(step_count, folder)
+        self._flush()
+        summary["steps"] = step_count
+        summary["kmc_time"] = kmc_time
+        return summary

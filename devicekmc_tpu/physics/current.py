@@ -1,0 +1,253 @@
+"""Charge-transport (current + dissipated power) solver.
+
+Builds the transmission/conductance matrix X over the *atom* sub-graph plus
+two virtual nodes (ground/extraction = node 0, source/injection = node 1),
+solves for virtual potentials, extracts the macroscopic current and the
+site-resolved dissipated power.  Reference: Device::updatePower
+(src/current_solver.cpp:4-385) and update_power_gpu_sparse
+(src/current_solver_gpu.cu:854-1136).
+
+Matrix entries (atoms i, j at indices i+2, j+2):
+  * neighbour pairs (dist < nn_dist): -high_G for metal-metal or neutral
+    vacancy pairs, else -low_G;
+  * non-neighbour pairs that are trap<->trap, contact<->trap or
+    contact<->contact with |dE_CB| > tol: -T(WKB), with a trapezoidal
+    (low-field) or triangular (high-field) barrier, and an energy-window
+    integration for contact->trap (src/current_solver.cpp:99-154);
+  * node 1 -- first ``num_source_inj`` atoms and node 0 -- atoms with index
+    > N_atom - num_ground_ext at -high_G' (note: the reference's strict
+    comparison attaches one atom fewer than num_ground_ext to ground —
+    reproduced faithfully);
+  * node 0 -- node 1 at -loop_G;
+  * diagonal = negated row-sum of off-diagonals.
+
+The linear system is the Nsub = N_atom+1 leading principal block (the last
+atom is the ground reference), solved with Jacobi-preconditioned CG warm
+started from the previous superstep's virtual potentials (the reference
+keeps the same persistent warm start, src/gpu_buffers.h:137-138), or with a
+dense direct solve for small systems / oracle tests.
+
+TPU design: the atom set is static (see structure.NON_ATOM_ELEMENTS), so all
+shapes are fixed.  The matrix is materialised densely and the CG matvec is a
+single MXU matmul per iteration; the WKB energy-window integration is a
+bounded fori_loop with masking (static trip count, no data-dependent
+shapes).  For structures beyond ~20k atoms a blocked/matrix-free operator
+takes over (see ops/pairwise; planned: x-window banding, since T decays
+exponentially with distance).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ops.cg import cg_solve
+from ..state import Geometry, PhysParams, SimState
+from ..structure import Element
+
+#: conductance-quantum prefactor: G = G0 * T_ij
+#: (reference: src/current_solver.cpp:13, G0 = 2 * 3.8612e-5 * 1e-5)
+G0 = 2.0 * 3.8612e-5 * 1e-5
+
+#: energy spacing of the contact->trap integration [V]
+#: (src/current_solver.cpp:111)
+DV_INT = 0.01
+
+#: static cap on energy-window integration steps; steps beyond the actual
+#: window are masked out.  ceil(max |CB drop| [eV] / DV_INT) must fit.
+MAX_TUNNEL_STEPS = 1024
+
+
+def _pairwise_dist_atoms(coords, lattice, pbc: bool):
+    d = coords[:, None, :] - coords[None, :, :]
+    if pbc:
+        dy = d[..., 1] - jnp.round(d[..., 1] / lattice[1]) * lattice[1]
+        dz = d[..., 2] - jnp.round(d[..., 2] / lattice[2]) * lattice[2]
+        d = jnp.stack([d[..., 0], dy, dz], axis=-1)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
+    """Dense X matrix [N_atom+2, N_atom+2] (symmetric, diagonal folded)."""
+    dtype = params.dtype
+    ai = geom.atom_ind
+    Na = geom.N_atom
+    apos = geom.coords[ai]
+    aelem = state.element[ai]
+    acharge = state.charge[ai]
+    acb = state.CB_edge[ai]                      # [J]
+
+    high_G = params.high_G * 1e5                 # src/current_solver.cpp:9
+    low_G = params.low_G
+    loop_G = params.high_G * 1e7                 # src/current_solver.cpp:8
+    tol = C.Q_C * 0.01                           # [J]
+
+    idx = jnp.arange(Na)
+    eye = idx[:, None] == idx[None, :]
+    dist = _pairwise_dist_atoms(apos, geom.lattice, geom.pbc)  # [Angstrom]
+    neighbor = (dist < params.nn_dist) & ~eye
+
+    metal = geom.metal_mask_table[aelem]
+    anyvac = aelem == int(Element.VACANCY)
+    cvac = anyvac & (acharge == 0)
+
+    # --- neighbour conductances ---
+    hi_pair = (metal[:, None] & metal[None, :]) | (cvac[:, None] & cvac[None, :])
+    G_nb = jnp.where(hi_pair, high_G, low_G)
+
+    # --- tunnelling ---
+    nlc, nsi, nge = params.num_layers_contact, params.num_source_inj, params.num_ground_ext
+    metal_p = metal & (idx > (nlc - 1) * nsi) & (idx < Na - (nlc - 1) * nge)
+    t2t = anyvac[:, None] & anyvac[None, :]
+    c2t = (anyvac[:, None] & metal_p[None, :]) | (anyvac[None, :] & metal_p[:, None])
+    c2c = metal_p[:, None] & metal_p[None, :]
+
+    dE = acb[:, None] - acb[None, :]             # [J]
+    abs_dE = jnp.abs(dE)
+    eligible = (t2t | c2t | c2c) & (abs_dE > tol) & ~neighbor & ~eye
+    safe_abs_dE = jnp.where(eligible, abs_dE, 1.0)
+
+    prefac = -(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)
+    dist_m = dist * 1e-10
+    s = prefac * dist_m / safe_abs_dE            # common exponent scale
+    qV0 = C.Q_C * params.V0                      # [J]
+
+    # single-shot barrier (trap<->trap, contact<->contact)
+    E1 = qV0
+    E2 = E1 - abs_dE
+    T_single = jnp.where(
+        E2 > 0,
+        jnp.exp(s * (E1 ** 1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)),
+        jnp.where(E2 < 0, jnp.exp(s * E1 ** 1.5), 0.0),
+    )
+
+    # contact->trap: integrate over the occupied energy window
+    dE_step = C.Q_C * DV_INT
+
+    def int_body(kk, acc):
+        iv = kk * dE_step
+        e1 = qV0 + iv
+        e2 = e1 - abs_dE
+        term = jnp.where(
+            e2 > 0,
+            jnp.exp(s * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
+            jnp.where(e2 < 0, jnp.exp(s * e1 ** 1.5), 0.0),
+        )
+        return acc + jnp.where(iv < abs_dE, term, 0.0)
+
+    T_c2t = jax.lax.fori_loop(
+        0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(dist)
+    )
+
+    T = jnp.where(c2t, T_c2t, T_single)
+    X_atoms = jnp.where(
+        neighbor, -G_nb, jnp.where(eligible, -T, 0.0)
+    ).astype(dtype)
+
+    # --- assemble the full (Na+2) x (Na+2) matrix ---
+    Nf = Na + 2
+    X = jnp.zeros((Nf, Nf), dtype=dtype)
+    X = X.at[2:, 2:].set(X_atoms)
+
+    src_mask = idx < nsi
+    # NOTE strict ">": reproduces the reference's off-by-one at
+    # src/current_solver.cpp:187 (one fewer ground-extraction atom).
+    gnd_mask = idx > (Na - nge)
+    src_row = jnp.where(src_mask, -high_G, 0.0).astype(dtype)
+    gnd_row = jnp.where(gnd_mask, -high_G, 0.0).astype(dtype)
+    X = X.at[1, 2:].set(src_row)
+    X = X.at[2:, 1].set(src_row)
+    X = X.at[0, 2:].set(gnd_row)
+    X = X.at[2:, 0].set(gnd_row)
+    X = X.at[0, 1].set(-loop_G)
+    X = X.at[1, 0].set(-loop_G)
+
+    # diagonal = negated off-diagonal row sums over the FULL matrix
+    diag = -jnp.sum(X, axis=1)
+    X = X + jnp.diag(diag)
+    return X, loop_G
+
+
+def update_power(
+    geom: Geometry,
+    params: PhysParams,
+    state: SimState,
+    Vd,
+    method: str = "cg",
+    cg_tol: float = 1e-10,
+    cg_maxiter: int = 50000,
+) -> Tuple[SimState, Dict]:
+    dtype = params.dtype
+    Na = geom.N_atom
+    Nsub = Na + 1
+    nsi = params.num_source_inj
+
+    X, loop_G = assemble_X(geom, params, state, Vd)
+    Dsub = X[:Nsub, :Nsub]
+
+    rhs = jnp.zeros(Nsub, dtype=dtype)
+    rhs = rhs.at[0].set(-loop_G * Vd)
+    rhs = rhs.at[1].set(loop_G * Vd)
+
+    cg_iters = jnp.asarray(0, jnp.int32)
+    if method == "direct":
+        v = jnp.linalg.solve(Dsub, rhs)
+    else:
+        x0 = state.virtual_potentials[:Nsub]
+        res = cg_solve(
+            lambda x: Dsub @ x, rhs, x0=x0, diag=jnp.diagonal(Dsub),
+            tol=cg_tol, maxiter=cg_maxiter,
+        )
+        v = res.x
+        cg_iters = res.iters
+
+    # potential-drop sanity check (src/current_solver.cpp:239-243)
+    contact_drop = jnp.abs(v[nsi] - Vd)
+
+    # scale by the conductance quantum; grounded last atom stays at 0
+    M = jnp.concatenate([v * G0, jnp.zeros(1, dtype=dtype)])  # [Na+2]
+
+    # macroscopic current through the ground/extraction node
+    I_macro = jnp.sum(X[0, 2:] * (M[0] - M[2:]))
+
+    # --- dissipated power ---
+    Matoms = M[2:]
+    min_V = jnp.min(Matoms)
+    Ms = Matoms + jnp.abs(min_V)
+
+    dM = Ms[:, None] - Ms[None, :]
+    I_cal = X[2:, 2:] * dM
+    fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+    idx = jnp.arange(Na)
+    offd = idx[:, None] != idx[None, :]
+    I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
+    # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i])  (diagonal fold + gemv,
+    # src/current_solver.cpp:319-337)
+    P_disp = jnp.sum(I_neg * (-dM), axis=1)
+
+    metal = geom.metal_mask_table[state.element[geom.atom_ind]]
+    in_range = (idx >= nsi) & (idx < Na - nsi)
+    alpha = jnp.where(metal, 0.0, 1.0)
+    atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
+
+    power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
+    P_tot = jnp.sum(power)
+
+    new_vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
+    new_state = state.replace(
+        power=power,
+        I_macro=I_macro.astype(dtype),
+        P_tot=P_tot,
+        virtual_potentials=new_vp,
+    )
+    metrics = {
+        "Current [uA]": I_macro * 1e6,
+        "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
+        "Total dissipated power [mW]": P_tot * 1e3,
+        "cg_iters_power": cg_iters,
+        "contact_potential_drop": contact_drop,
+    }
+    return new_state, metrics

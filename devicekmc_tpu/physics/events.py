@@ -1,0 +1,279 @@
+"""KMC event engine: rate table + rejection-free residence-time superstep.
+
+Four event types over (site i, neighbour j) pairs (reference:
+KMCProcess::update_events_and_rates, src/KMCProcess.cpp:67-164; GPU
+build_event_list, src/kmc_events.cu:34-126), with rate
+``P = freq * exp(-EA / (kB * T_bg))``, ``EA = E_zero_field - E - Ekin``
+(Ekin hard-zeroed as in the reference):
+
+  0 VACANCY_GENERATION    (d, O):   E = 2*(phi_i - phi_j),           barrier E_gen_0[layer_j]
+  1 VACANCY_RECOMBINATION (Od, V):  E = cs*(dphi + (cs/2)*v2),       barrier E_rec_1[layer_j]
+  2 VACANCY_DIFFUSION     (V, O):   E = (qi-qj)*(dphi + qi*v1),      barrier E_diff_2[layer_i]
+  3 ION_DIFFUSION         (Od, d):  E = (qi-qj)*(dphi - 2*v1),       barrier E_diff_3[layer_j]
+
+where phi = potential_boundary + potential_charge, v_k = screened-Coulomb
+self-interaction v_solve(r, k) (precomputed per pair in Geometry.v2_pair),
+and cs = q_i - q_j.
+
+Superstep semantics (reference: KMCProcess::executeKMCStep,
+src/KMCProcess.cpp:259-373) reproduced exactly:
+  * the rate table is built ONCE per superstep;
+  * the residence-time loop repeatedly: cumsums rates -> draws u*Psum ->
+    upper_bound -> executes the event -> zeroes every pair whose row site or
+    neighbour site is i or j -> redraws event_time = -ln(u)/Psum from the
+    *shrunken* Psum; the loop ends when event_time >= 1/freq and that final
+    draw is the returned step_time.
+
+TPU design: the whole loop is one ``lax.while_loop`` on device — no
+host round-trips (the reference GPU path pays ~10 PCIe copies per event,
+src/kmc_events.cu:210-349).  Event selection is hierarchical by default:
+per-site rate sums -> cumsum over N -> pick row -> cumsum over max_nn ->
+pick slot, which runs two short cumsums instead of one N*max_nn scan
+(``selection="flat"`` gives the literal flat scan).  Selection is
+identical in exact arithmetic; floating-point event choices may differ from
+the flat scan on ties, which is statistically irrelevant.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..state import Geometry, PhysParams, SimState
+from ..structure import Element
+
+# event type codes (reference: src/utils.h:53-60)
+VACANCY_GENERATION = 0
+VACANCY_RECOMBINATION = 1
+VACANCY_DIFFUSION = 2
+ION_DIFFUSION = 3
+NULL_EVENT = 4
+
+_D = int(Element.DEFECT)
+_OD = int(Element.OXYGEN_DEFECT)
+_V = int(Element.VACANCY)
+_O = int(Element.O)
+
+
+def build_rate_table(
+    geom: Geometry, params: PhysParams, state: SimState
+) -> jnp.ndarray:
+    """Rates for every (site, neighbour-slot) pair -> [N, max_nn]."""
+    dtype = params.dtype
+    elem = state.element
+    charge = state.charge.astype(dtype)
+    phi = state.potential_boundary + state.potential_charge
+
+    safe = jnp.maximum(geom.neigh_idx, 0)
+    e_i = elem[:, None]
+    e_j = elem[safe]
+    q_i = charge[:, None]
+    q_j = charge[safe]
+    dphi = phi[:, None] - phi[safe]
+
+    # per-pair screened self-interaction for unit charge 1 / charge 2
+    v2 = geom.v2_pair * 2.0        # v_solve(r, 2)
+    v1 = geom.v2_pair              # v_solve(r, 1); multiply by charge as needed
+
+    lay_i = geom.site_layer[:, None]
+    lay_j = geom.site_layer[safe]
+    E_gen_j = geom.layer_E[lay_j, 0]
+    E_rec_j = geom.layer_E[lay_j, 1]
+    E_diff_i = geom.layer_E[lay_i, 2]
+    E_diff_j = geom.layer_E[lay_j, 3]
+
+    # 0: generation (d, O)
+    m_gen = (e_i == _D) & (e_j == _O)
+    E_gen = 2.0 * dphi
+    EA_gen = E_gen_j - E_gen
+
+    # 1: recombination (Od, V); cs/2 uses C-truncation (charges are even)
+    m_rec = (e_i == _OD) & (e_j == _V)
+    cs = q_i - q_j
+    E_rec = cs * (dphi + jnp.trunc(cs / 2.0) * v2)
+    EA_rec = E_rec_j - E_rec
+
+    # 2: vacancy diffusion (V, O); self-interaction only if charged
+    m_vdf = (e_i == _V) & (e_j == _O)
+    self_v = jnp.where(q_i != 0, q_i * v1, 0.0)
+    E_vdf = (q_i - q_j) * (dphi + self_v)
+    EA_vdf = E_diff_i - E_vdf
+
+    # 3: ion diffusion (Od, d)
+    m_idf = (e_i == _OD) & (e_j == _D)
+    self_i = jnp.where(q_i != 0, v2, 0.0)
+    E_idf = (q_i - q_j) * (dphi - self_i)
+    EA_idf = E_diff_j - E_idf
+
+    EA = jnp.where(
+        m_gen, EA_gen,
+        jnp.where(m_rec, EA_rec, jnp.where(m_vdf, EA_vdf, EA_idf)),
+    )
+    any_event = (m_gen | m_rec | m_vdf | m_idf) & geom.neigh_valid
+
+    kT = C.KB_EV * state.T_bg
+    P = params.freq * jnp.exp(-EA / kT)
+    return jnp.where(any_event, P, 0.0).astype(dtype)
+
+
+def _event_type_from_elements(e_i, e_j):
+    """Re-derive the event type of a selected pair from current elements.
+    Valid because conflict-zeroing guarantees a selectable pair's endpoints
+    are unchanged since the rate build."""
+    return jnp.where(
+        (e_i == _D) & (e_j == _O), VACANCY_GENERATION,
+        jnp.where(
+            (e_i == _OD) & (e_j == _V), VACANCY_RECOMBINATION,
+            jnp.where(
+                (e_i == _V) & (e_j == _O), VACANCY_DIFFUSION,
+                jnp.where((e_i == _OD) & (e_j == _D), ION_DIFFUSION, NULL_EVENT),
+            ),
+        ),
+    )
+
+
+def _execute_event(element, charge, i, j, ev):
+    """Apply the two-site state mutation for event ``ev``
+    (reference: KMCProcess::execute_event, src/KMCProcess.cpp:187-256)."""
+    e_i, e_j = element[i], element[j]
+    q_i, q_j = charge[i], charge[j]
+
+    # generation: d -> Od(-2), O -> V(+2)
+    # recombination: Od -> d(0), V -> O(0)
+    # diffusion (both kinds): swap elements and charges
+    is_noop = ev == NULL_EVENT
+    new_e_i = jnp.where(
+        is_noop, e_i,
+        jnp.where(
+            ev == VACANCY_GENERATION, _OD,
+            jnp.where(ev == VACANCY_RECOMBINATION, _D, e_j),
+        ),
+    )
+    new_e_j = jnp.where(
+        is_noop, e_j,
+        jnp.where(
+            ev == VACANCY_GENERATION, _V,
+            jnp.where(ev == VACANCY_RECOMBINATION, _O, e_i),
+        ),
+    )
+    new_q_i = jnp.where(
+        is_noop, q_i,
+        jnp.where(
+            ev == VACANCY_GENERATION, -2,
+            jnp.where(ev == VACANCY_RECOMBINATION, 0, q_j),
+        ),
+    )
+    new_q_j = jnp.where(
+        is_noop, q_j,
+        jnp.where(
+            ev == VACANCY_GENERATION, 2,
+            jnp.where(ev == VACANCY_RECOMBINATION, 0, q_i),
+        ),
+    )
+    element = element.at[i].set(new_e_i.astype(element.dtype))
+    element = element.at[j].set(new_e_j.astype(element.dtype))
+    charge = charge.at[i].set(new_q_i.astype(charge.dtype))
+    charge = charge.at[j].set(new_q_j.astype(charge.dtype))
+    return element, charge
+
+
+class SuperstepResult(NamedTuple):
+    state: "SimState"
+    step_time: jnp.ndarray
+    n_events: jnp.ndarray
+
+
+def _select_flat(prob, u):
+    """Literal flat cumsum + upper_bound (reference semantics)."""
+    flat = prob.reshape(-1)
+    cum = jnp.cumsum(flat)
+    psum = cum[-1]
+    target = u * psum
+    idx = jnp.searchsorted(cum, target, side="right")
+    idx = jnp.minimum(idx, flat.shape[0] - 1)
+    return psum, idx
+
+
+def _select_two_level(prob, u):
+    """Hierarchical selection: row sums -> row -> slot."""
+    n, m = prob.shape
+    row_sums = jnp.sum(prob, axis=1)
+    row_cum = jnp.cumsum(row_sums)
+    psum = row_cum[-1]
+    target = u * psum
+    row = jnp.searchsorted(row_cum, target, side="right")
+    row = jnp.minimum(row, n - 1)
+    base = jnp.where(row > 0, row_cum[row - 1], 0.0)
+    inner = target - base
+    slot_cum = jnp.cumsum(prob[row])
+    slot = jnp.searchsorted(slot_cum, inner, side="right")
+    slot = jnp.minimum(slot, m - 1)
+    return psum, row * m + slot
+
+
+def execute_superstep(
+    geom: Geometry, params: PhysParams, state: SimState
+) -> SuperstepResult:
+    """One KMC superstep: build rates once, then select/execute/zero in an
+    on-device residence-time loop until the drawn event time exceeds
+    1/freq."""
+    prob0 = build_rate_table(geom, params, state)
+    n, m = prob0.shape
+    t_window = 1.0 / params.freq
+    select = _select_flat if params.selection == "flat" else _select_two_level
+
+    def cond(carry):
+        _, _, _, _, event_time, count = carry
+        return (event_time < t_window) & (count < params.max_events_per_superstep)
+
+    def body(carry):
+        prob, element, charge, key, _, count = carry
+        key, k_sel, k_time = jax.random.split(key, 3)
+        u_sel = jax.random.uniform(k_sel, dtype=prob.dtype)
+        psum, idx = select(prob, u_sel)
+
+        i = idx // m
+        j = geom.neigh_idx.reshape(-1)[idx]
+        ev = _event_type_from_elements(element[i], element[j])
+
+        # degenerate guard: if psum == 0 nothing can fire; skip mutation
+        valid = psum > 0
+        ev = jnp.where(valid, ev, NULL_EVENT)
+        element, charge = _execute_event(element, charge, i, j, ev)
+
+        # conflict zeroing: any pair whose row or neighbour is i or j
+        # (reference: src/KMCProcess.cpp:327-352)
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        nb = geom.neigh_idx
+        conflict = (rows == i) | (rows == j) | (nb == i) | (nb == j)
+        prob = jnp.where(valid & conflict, 0.0, prob)
+
+        u_t = jax.random.uniform(k_time, dtype=prob.dtype)
+        event_time = jnp.where(
+            valid, -jnp.log(u_t) / psum, jnp.asarray(jnp.inf, prob.dtype)
+        )
+        count = count + jnp.where(valid, 1, 0).astype(jnp.int32)
+        return (prob, element, charge, key, event_time, count)
+
+    init = (
+        prob0,
+        state.element,
+        state.charge,
+        state.key,
+        jnp.asarray(0.0, params.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    prob, element, charge, key, event_time, count = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    new_state = state.replace(
+        element=element,
+        charge=charge,
+        key=key,
+        kmc_time=state.kmc_time + event_time,
+    )
+    return SuperstepResult(state=new_state, step_time=event_time, n_events=count)

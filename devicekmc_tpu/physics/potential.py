@@ -1,0 +1,208 @@
+"""Electrostatic potential solvers.
+
+Three pieces, as in the reference:
+
+1. **Boundary (resistive-network) potential** — Laplace solve over the site
+   conductance graph with Dirichlet contacts at -Vd/2 / +Vd/2, conductance
+   high_G for metal-metal or neutral-vacancy-pair edges, else low_G.
+   Reference: Device::background_potential (src/potential_solver.cpp:289-410)
+   and background_potential_gpu_sparse (src/potential_solver_gpu.cu:696-781).
+
+2. **CB-edge Laplace solve** — same graph but conductance high_G if *either*
+   endpoint is metal, contacts at +Vd/2 / -Vd/2, solution scaled to Joules.
+   Solved once per bias point.  Reference: Device::setLaplacePotential
+   (src/potential_solver.cpp:4-139), update_CB_edge_gpu_sparse
+   (src/potential_solver_gpu.cu:595-694).
+
+3. **Gridless Poisson** — O(N^2) superposition of screened-Coulomb solutions
+   from every charged site.  Reference: poisson_gridless
+   (src/potential_solver.cpp:412-432, GPU :907-978).
+
+TPU design: both Laplace solves are Dirichlet-eliminated CG on the ELL graph
+(interior subspace; boundary columns folded into the RHS), warm-started from
+the previous solution.  The Poisson sum is a blocked row-sweep (lax.map over
+row tiles) so the N x N interaction never materialises; a Pallas kernel
+version lives in ops/pairwise (used when available).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+
+from .. import constants as C
+from ..ops.cg import cg_solve
+from ..ops.ell import ell_matvec
+from ..state import Geometry, PhysParams, SimState
+from ..structure import Element
+
+
+def _interior_mask(N: int, n_left: int, n_right: int):
+    idx = jnp.arange(N)
+    return (idx >= n_left) & (idx < N - n_right)
+
+
+def _edge_conductance_boundary(geom: Geometry, state: SimState, params: PhysParams):
+    """Per-edge conductance for the boundary-potential network:
+    high_G iff (metal,metal) or (neutral vacancy, neutral vacancy)."""
+    elem = state.element
+    safe = jnp.maximum(geom.neigh_idx, 0)
+    metal_i = geom.metal_mask_table[elem][:, None]
+    metal_j = geom.metal_mask_table[elem[safe]]
+    cvac_i = ((elem == int(Element.VACANCY)) & (state.charge == 0))[:, None]
+    cvac_j = (elem[safe] == int(Element.VACANCY)) & (state.charge[safe] == 0)
+    high = (metal_i & metal_j) | (cvac_i & cvac_j)
+    g = jnp.where(high, params.high_G, params.low_G)
+    return jnp.where(geom.neigh_valid, g, 0.0).astype(params.dtype)
+
+
+def _edge_conductance_cb(geom: Geometry, state: SimState, params: PhysParams):
+    """Per-edge conductance for the CB-edge network: high_G iff either
+    endpoint is metal (src/potential_solver.cpp:58-70)."""
+    elem = state.element
+    safe = jnp.maximum(geom.neigh_idx, 0)
+    metal_i = geom.metal_mask_table[elem][:, None]
+    metal_j = geom.metal_mask_table[elem[safe]]
+    g = jnp.where(metal_i | metal_j, params.high_G, params.low_G)
+    return jnp.where(geom.neigh_valid, g, 0.0).astype(params.dtype)
+
+
+def _dirichlet_laplace_solve(
+    geom: Geometry,
+    edge_g,             # [N, max_nn] conductances (0 at pads)
+    v_left,
+    v_right,
+    n_left: int,
+    n_right: int,
+    x0,                 # [N] warm start (full-length; boundary part ignored)
+    tol: float,
+    maxiter: int,
+):
+    """Solve the graph Laplacian with Dirichlet contacts on the first n_left /
+    last n_right sites.  Returns the full-length potential vector."""
+    N = geom.N
+    interior = _interior_mask(N, n_left, n_right)
+    idx = jnp.arange(N)
+    is_left = idx < n_left
+    is_right = idx >= N - n_right
+
+    diag = jnp.sum(edge_g, axis=1)          # row sum of conductances
+    safe = jnp.maximum(geom.neigh_idx, 0)
+    nb_left = is_left[safe]
+    nb_right = is_right[safe]
+    nb_boundary_v = jnp.where(
+        nb_left, v_left, jnp.where(nb_right, v_right, 0.0)
+    ).astype(edge_g.dtype)
+
+    # RHS: b_i = sum_{j in boundary} G_ij * V_j   (Dirichlet elimination)
+    b = jnp.where(interior, jnp.sum(edge_g * nb_boundary_v, axis=1), 0.0)
+
+    # interior operator: (L_II x)_i = diag_i x_i - sum_{j interior} G_ij x_j
+    neg_vals = -edge_g * (interior[safe])
+
+    def matvec(x):
+        xm = jnp.where(interior, x, 0.0)
+        y = ell_matvec(diag, neg_vals, geom.neigh_idx, xm)
+        return jnp.where(interior, y, 0.0)
+
+    x0_int = jnp.where(interior, x0, 0.0)
+    pre_diag = jnp.where(interior, diag, 1.0)
+    res = cg_solve(matvec, b, x0=x0_int, diag=pre_diag, tol=tol, maxiter=maxiter)
+
+    phi = jnp.where(
+        is_left, v_left, jnp.where(is_right, v_right, res.x)
+    ).astype(edge_g.dtype)
+    return phi, res
+
+
+def solve_boundary_potential(
+    geom: Geometry, params: PhysParams, state: SimState, Vd
+) -> Tuple[SimState, dict]:
+    """Update ``site_potential_boundary``: contacts at -Vd/2 (left) and +Vd/2
+    (right), matching both CPU (src/potential_solver.cpp:311-319) and GPU
+    sparse (src/potential_solver_gpu.cu:734-771) paths."""
+    edge_g = _edge_conductance_boundary(geom, state, params)
+    vl = jnp.asarray(-Vd / 2.0, dtype=params.dtype)
+    vr = jnp.asarray(Vd / 2.0, dtype=params.dtype)
+    phi, res = _dirichlet_laplace_solve(
+        geom, edge_g, vl, vr, params.N_left_tot, params.N_right_tot,
+        x0=state.potential_boundary,
+        tol=params.solver_tol, maxiter=params.solver_maxiter,
+    )
+    return state.replace(potential_boundary=phi), {"cg_iters_boundary": res.iters}
+
+
+def solve_cb_edge(
+    geom: Geometry, params: PhysParams, state: SimState, Vd
+) -> Tuple[SimState, dict]:
+    """Update ``site_CB_edge`` [J]: contacts at +q*Vd/2 (left), -q*Vd/2
+    (right).  The linear solve runs in volts and the result is scaled by
+    eV_to_J, as the GPU path does (src/potential_solver_gpu.cu:634-674)."""
+    edge_g = _edge_conductance_cb(geom, state, params)
+    vl = jnp.asarray(Vd / 2.0, dtype=params.dtype)
+    vr = jnp.asarray(-Vd / 2.0, dtype=params.dtype)
+    x0 = state.CB_edge / C.EV_TO_J
+    phi, res = _dirichlet_laplace_solve(
+        geom, edge_g, vl, vr, params.N_left_tot, params.N_right_tot,
+        x0=x0, tol=params.solver_tol, maxiter=params.solver_maxiter,
+    )
+    return (
+        state.replace(CB_edge=phi * C.EV_TO_J),
+        {"cg_iters_cb_edge": res.iters},
+    )
+
+
+# ----------------------------------------------------------------------------
+# gridless Poisson (pairwise screened Coulomb)
+# ----------------------------------------------------------------------------
+
+def _pairwise_dist(coords_i, coords_j, lattice, pbc: bool):
+    """[B,3] x [M,3] -> [B,M] distances with y/z minimum image."""
+    d = coords_i[:, None, :] - coords_j[None, :, :]
+    if pbc:
+        dy = d[..., 1] - jnp.round(d[..., 1] / lattice[1]) * lattice[1]
+        dz = d[..., 2] - jnp.round(d[..., 2] / lattice[2]) * lattice[2]
+        d = jnp.stack([d[..., 0], dy, dz], axis=-1)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("pbc", "block"))
+def _poisson_rows(coords, charge_f, lattice, sigma, k, pbc: bool, block: int):
+    N = coords.shape[0]
+    n_pad = (-N) % block
+    coords_p = jnp.pad(coords, ((0, n_pad), (0, 0)))
+    row_ids = jnp.arange(N + n_pad)
+    col_ids = jnp.arange(N)
+
+    inv_s = 1.0 / (sigma * jnp.sqrt(2.0))
+
+    def one_block(args):
+        rows_c, rows_i = args                     # [block,3], [block]
+        dist = _pairwise_dist(rows_c, coords, lattice, pbc) * 1e-10  # [m]
+        self_mask = rows_i[:, None] == col_ids[None, :]
+        dist = jnp.where(self_mask, 1.0, dist)
+        contrib = charge_f[None, :] * erfc(dist * inv_s) * k * C.Q_C / dist
+        contrib = jnp.where(self_mask, 0.0, contrib)
+        return jnp.sum(contrib, axis=1)
+
+    blocks_c = coords_p.reshape(-1, block, 3)
+    blocks_i = row_ids.reshape(-1, block)
+    out = jax.lax.map(one_block, (blocks_c, blocks_i))
+    return out.reshape(-1)[:N]
+
+
+def poisson_gridless(
+    geom: Geometry, params: PhysParams, state: SimState, block: int = 256
+) -> SimState:
+    """V_i = sum_{j != i, q_j != 0} v_solve(r_ij, q_j)
+    (src/potential_solver.cpp:412-432)."""
+    charge_f = state.charge.astype(params.dtype)
+    v = _poisson_rows(
+        geom.coords, charge_f, geom.lattice, params.sigma, params.k,
+        geom.pbc, block,
+    )
+    return state.replace(potential_charge=v.astype(params.dtype))

@@ -1,0 +1,313 @@
+"""Simulation state pytrees.
+
+The reference mirrors its C++ ``Device`` arrays into a hand-managed GPU SoA
+(``GPUBuffers``, src/gpu_buffers.{h,cpp}) and shuttles them over PCIe every
+superstep.  The TPU build instead keeps ONE immutable pytree of device arrays
+and threads it functionally through jitted supersteps — there is no host
+mirror and no sync step.
+
+Three pytrees:
+
+* :class:`Geometry`  — static per-run arrays (coordinates, ELL neighbour
+  graph, precomputed pair distances / Coulomb kernels, layer tables).  These
+  never change after construction; under jit they are ordinary traced inputs
+  with constant shapes.
+* :class:`PhysParams` — scalar physics parameters; static integers (problem
+  sizes, contact extents) live in non-pytree fields so they are compile-time
+  constants.
+* :class:`SimState`  — everything that evolves: elements, charges, fields,
+  temperature, RNG key, warm-start vectors, accumulated KMC clock.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.special import erfc
+
+from . import constants as C
+from .config import KMCConfig
+from .structure import (
+    Element,
+    NON_ATOM_ELEMENTS,
+    assign_layers,
+    build_neighbor_list,
+    pair_displacement,
+    site_dist,
+)
+
+
+@struct.dataclass
+class Geometry:
+    coords: Any          # [N,3] float   site positions [Angstrom]
+    neigh_idx: Any       # [N,max_nn] int32, pad -1
+    neigh_valid: Any     # [N,max_nn] bool
+    pair_dist: Any       # [N,max_nn] float  distance to neighbour [Angstrom]
+    v2_pair: Any         # [N,max_nn] float  erfc(r/(sigma*sqrt2))*k*q/r per unit charge [V]
+    site_layer: Any      # [N] int32
+    atom_ind: Any        # [N_atom] int32  site index of each atom slot
+    metal_mask_table: Any  # [n_elements] bool: is element a metal
+    layer_E: Any         # [n_layers, 4] float: E_gen_0, E_rec_1, E_diff_2, E_diff_3
+    lattice: Any         # [3] float
+
+    # static metadata
+    N: int = struct.field(pytree_node=False, default=0)
+    max_nn: int = struct.field(pytree_node=False, default=0)
+    N_atom: int = struct.field(pytree_node=False, default=0)
+    pbc: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class PhysParams:
+    # traced scalars (changing them does not retrigger compilation)
+    freq: Any
+    sigma: Any           # [m]
+    k: Any               # Coulomb prefactor / epsilon
+    nn_dist: Any         # [Angstrom]
+    high_G: Any
+    low_G: Any
+    m_e: Any             # [kg]
+    V0: Any              # [eV]
+    background_temp: Any
+    dissipation_constant: Any
+    small_step: Any
+    t_ox: Any
+    A: Any
+    c_p: Any
+    delta_t: Any
+    tau: Any
+    k_th_interface: Any
+    k_th_vacancies: Any
+    power_adjustment_term: Any
+
+    # static configuration
+    N_left_tot: int = struct.field(pytree_node=False, default=0)
+    N_right_tot: int = struct.field(pytree_node=False, default=0)
+    num_source_inj: int = struct.field(pytree_node=False, default=0)
+    num_ground_ext: int = struct.field(pytree_node=False, default=0)
+    num_layers_contact: int = struct.field(pytree_node=False, default=0)
+    num_atoms_contact: int = struct.field(pytree_node=False, default=0)
+    solve_potential: bool = struct.field(pytree_node=False, default=True)
+    solve_current: bool = struct.field(pytree_node=False, default=True)
+    solve_heating_global: bool = struct.field(pytree_node=False, default=False)
+    solve_heating_local: bool = struct.field(pytree_node=False, default=False)
+    perturb_structure: bool = struct.field(pytree_node=False, default=True)
+    solver_tol: float = struct.field(pytree_node=False, default=1e-12)
+    solver_maxiter: int = struct.field(pytree_node=False, default=50000)
+    selection: str = struct.field(pytree_node=False, default="two_level")
+    max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
+    dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
+
+
+@struct.dataclass
+class SimState:
+    element: Any             # [N] int32
+    charge: Any              # [N] int32
+    potential_boundary: Any  # [N] float [V]
+    potential_charge: Any    # [N] float [V]
+    CB_edge: Any             # [N] float [J]
+    power: Any               # [N] float [W]
+    temperature: Any         # [N] float [K]
+    T_bg: Any                # scalar [K]
+    key: Any                 # jax PRNG key
+    kmc_time: Any            # scalar [s] within current bias point
+    I_macro: Any             # scalar [A]
+    P_tot: Any               # scalar [W]
+    virtual_potentials: Any  # [N_atom+2] float — current-solver warm start
+    step_count: Any          # scalar int32
+
+
+# ----------------------------------------------------------------------------
+# construction
+# ----------------------------------------------------------------------------
+
+def build_geometry(
+    elements: np.ndarray,
+    coords: np.ndarray,
+    cfg: KMCConfig,
+    max_nn: Optional[int] = None,
+    neigh_idx: Optional[np.ndarray] = None,
+) -> Geometry:
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    lattice = np.asarray(cfg.lattice, dtype=np.float64)
+    if neigh_idx is None:
+        neigh_idx = build_neighbor_list(coords, lattice, cfg.nn_dist, cfg.pbc, max_nn)
+    n, m = neigh_idx.shape
+    valid = neigh_idx >= 0
+    safe_idx = np.where(valid, neigh_idx, 0)
+
+    # static pair geometry
+    pj = coords[safe_idx]                       # [N, max_nn, 3]
+    dist = site_dist(coords[:, None, :], pj, lattice, cfg.pbc)
+    dist = np.where(valid, dist, 1.0)           # avoid 0-division on pads
+
+    # screened-Coulomb self-interaction kernel per unit charge
+    # v_solve(r, q) = q * erfc(r/(sigma*sqrt2)) * k * e / r  (src/utils.h:102)
+    r_m = dist * 1e-10
+    from scipy.special import erfc as np_erfc
+    v2 = np_erfc(r_m / (cfg.sigma * np.sqrt(2.0))) * cfg.k * C.Q_C / r_m
+    v2 = np.where(valid, v2, 0.0)
+
+    site_layer = assign_layers(coords, cfg.layers)
+    layer_E = np.array(
+        [[l.E_gen_0, l.E_rec_1, l.E_diff_2, l.E_diff_3] for l in cfg.layers],
+        dtype=np.float64,
+    )
+
+    metal_ids = {int(Element[m_]) for m_ in cfg.metals}
+    metal_table = np.array(
+        [i in metal_ids for i in range(len(Element))], dtype=bool
+    )
+
+    atom_mask = ~np.isin(elements, [int(e) for e in NON_ATOM_ELEMENTS])
+    atom_ind = np.nonzero(atom_mask)[0].astype(np.int32)
+
+    return Geometry(
+        coords=jnp.asarray(coords, dtype=dtype),
+        neigh_idx=jnp.asarray(neigh_idx, dtype=jnp.int32),
+        neigh_valid=jnp.asarray(valid),
+        pair_dist=jnp.asarray(dist, dtype=dtype),
+        v2_pair=jnp.asarray(v2, dtype=dtype),
+        site_layer=jnp.asarray(site_layer, dtype=jnp.int32),
+        atom_ind=jnp.asarray(atom_ind),
+        metal_mask_table=jnp.asarray(metal_table),
+        layer_E=jnp.asarray(layer_E, dtype=dtype),
+        lattice=jnp.asarray(lattice, dtype=dtype),
+        N=int(n),
+        max_nn=int(m),
+        N_atom=int(atom_mask.sum()),
+        pbc=bool(cfg.pbc),
+    )
+
+
+def build_params(cfg: KMCConfig) -> PhysParams:
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    s = lambda x: jnp.asarray(x, dtype=dtype)
+    return PhysParams(
+        freq=s(cfg.freq),
+        sigma=s(cfg.sigma),
+        k=s(cfg.k),
+        nn_dist=s(cfg.nn_dist),
+        high_G=s(cfg.high_G),
+        low_G=s(cfg.low_G),
+        m_e=s(cfg.m_e),
+        V0=s(cfg.V0),
+        background_temp=s(cfg.background_temp),
+        dissipation_constant=s(cfg.dissipation_constant),
+        small_step=s(cfg.small_step),
+        t_ox=s(cfg.t_ox),
+        A=s(cfg.A),
+        c_p=s(cfg.c_p),
+        delta_t=s(cfg.delta_t),
+        tau=s(cfg.tau),
+        k_th_interface=s(cfg.k_th_interface),
+        k_th_vacancies=s(cfg.k_th_vacancies),
+        power_adjustment_term=s(cfg.power_adjustment_term),
+        N_left_tot=cfg.num_atoms_first_layer,
+        N_right_tot=cfg.num_atoms_first_layer,
+        num_source_inj=cfg.num_atoms_first_layer,
+        num_ground_ext=cfg.num_atoms_first_layer,
+        num_layers_contact=cfg.num_layers_contact,
+        num_atoms_contact=cfg.num_atoms_contact,
+        solve_potential=cfg.solve_potential,
+        solve_current=cfg.solve_current,
+        solve_heating_global=cfg.solve_heating_global,
+        solve_heating_local=cfg.solve_heating_local,
+        perturb_structure=cfg.perturb_structure,
+        solver_tol=cfg.solver_tol,
+        solver_maxiter=cfg.solver_maxiter,
+        selection=cfg.selection,
+        max_events_per_superstep=cfg.max_events_per_superstep,
+        dtype=dtype,
+    )
+
+
+def make_substoichiometric(
+    elements: np.ndarray, concentration: float, seed: int
+) -> np.ndarray:
+    """Convert ``concentration * num_O`` random oxygen atoms to vacancies via
+    a rejection loop over uniform draws (src/Device.cpp:202-233).  The draw
+    targets atom slots (non-defect sites) like the reference's N_atom-indexed
+    loop."""
+    out = elements.copy()
+    atom_ind = np.nonzero(
+        ~np.isin(out, [int(e) for e in NON_ATOM_ELEMENTS])
+    )[0]
+    n_atom = len(atom_ind)
+    num_o = int((out == int(Element.O)).sum())
+    num_add = int(concentration * num_o)
+    rng = np.random.default_rng(seed)
+    while num_add > 0:
+        loc = int(rng.random() * n_atom)
+        site = atom_ind[loc]
+        if out[site] == int(Element.O):
+            out[site] = int(Element.VACANCY)
+            num_add -= 1
+    return out
+
+
+def init_state(
+    geom: Geometry, cfg: KMCConfig, elements: np.ndarray
+) -> SimState:
+    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    n = geom.N
+    zeros = jnp.zeros(n, dtype=dtype)
+    return SimState(
+        element=jnp.asarray(elements, dtype=jnp.int32),
+        charge=jnp.zeros(n, dtype=jnp.int32),
+        potential_boundary=zeros,
+        potential_charge=zeros,
+        CB_edge=zeros,
+        power=zeros,
+        temperature=jnp.full(n, cfg.background_temp, dtype=dtype),
+        T_bg=jnp.asarray(cfg.background_temp, dtype=dtype),
+        key=jax.random.PRNGKey(cfg.rnd_seed_kmc),
+        kmc_time=jnp.asarray(0.0, dtype=dtype),
+        I_macro=jnp.asarray(0.0, dtype=dtype),
+        P_tot=jnp.asarray(0.0, dtype=dtype),
+        virtual_potentials=jnp.zeros(geom.N_atom + 2, dtype=dtype),
+        step_count=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def build_simulation(
+    cfg: KMCConfig,
+    elements: Optional[np.ndarray] = None,
+    coords: Optional[np.ndarray] = None,
+) -> Tuple[Geometry, PhysParams, SimState]:
+    """Full setup: read structure files (or accept arrays), apply shifts and
+    substoichiometry, build geometry/params/state.
+
+    Mirrors the construction phase of the reference driver
+    (src/kmc_main.cpp:60-124 + src/Device.cpp:17-96).
+    """
+    from .structure import read_xyz, translate_cell
+
+    if elements is None:
+        if cfg.restart:
+            elements, coords = read_xyz(cfg.restart_xyz_file)
+        else:
+            e1, c1 = read_xyz(cfg.atom_xyz_file)
+            e2, c2 = read_xyz(cfg.interstitial_xyz_file)
+            elements = np.concatenate([e1, e2])
+            coords = np.concatenate([c1, c2])
+    elements = np.asarray(elements, dtype=np.int32)
+    coords = np.asarray(coords, dtype=np.float64)
+
+    if cfg.shift:
+        coords = translate_cell(coords, cfg.lattice, cfg.shifts)
+
+    if cfg.pristine and not cfg.restart:
+        elements = make_substoichiometric(
+            elements, cfg.initial_vacancy_concentration, cfg.rnd_seed
+        )
+
+    geom = build_geometry(elements, coords, cfg)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elements)
+    return geom, params, state

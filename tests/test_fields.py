@@ -1,0 +1,168 @@
+"""Field solvers (charge, potentials, current, heat) vs numpy oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from devicekmc_tpu import constants as C
+from devicekmc_tpu.config import KMCConfig
+from devicekmc_tpu.physics import charge as charge_mod
+from devicekmc_tpu.physics import current as current_mod
+from devicekmc_tpu.physics import heat as heat_mod
+from devicekmc_tpu.physics import potential as potential_mod
+from devicekmc_tpu.state import build_geometry, build_params, init_state
+from devicekmc_tpu.structure import Element, make_test_structure
+
+import oracles
+
+
+@pytest.fixture(scope="module")
+def small_sim():
+    s = make_test_structure(nx_contact=2, nx_oxide=6, ny=3, nz=3, seed=3)
+    cfg = KMCConfig(
+        lattice=list(s.lattice),
+        nn_dist=3.0,
+        pbc=False,
+        num_atoms_first_layer=s.num_atoms_first_layer,
+        num_layers_contact=s.num_layers_contact,
+        num_atoms_contact=s.num_atoms_contact,
+        layers=s.layers,
+        solve_potential=True,
+        solve_current=True,
+        solve_heating_global=True,
+        A=6.25e-19,
+    )
+    # seed some defect species so every rule fires
+    elems = s.elements.copy()
+    rng = np.random.default_rng(7)
+    oxide = np.nonzero(elems == int(Element.O))[0]
+    vac_sites = rng.choice(oxide, size=8, replace=False)
+    elems[vac_sites] = int(Element.VACANCY)
+    defects = np.nonzero(elems == int(Element.DEFECT))[0]
+    od_sites = rng.choice(defects, size=4, replace=False)
+    elems[od_sites] = int(Element.OXYGEN_DEFECT)
+
+    geom = build_geometry(elems, s.coords, cfg)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elems)
+    return s, cfg, geom, params, state, elems
+
+
+def test_charge_vs_oracle(small_sim):
+    s, cfg, geom, params, state, elems = small_sim
+    new_state, metrics = charge_mod.update_charge(geom, state)
+    ref = oracles.charge_oracle(
+        elems, np.asarray(geom.neigh_idx), np.asarray(geom.metal_mask_table)
+    )
+    np.testing.assert_array_equal(np.asarray(new_state.charge), ref)
+    n_v = (elems == int(Element.VACANCY)).sum()
+    assert (
+        int(metrics["Charged vacancies"]) + int(metrics["Uncharged vacancies"])
+        == n_v
+    )
+
+
+def test_boundary_potential_vs_oracle(small_sim):
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    Vd = 2.0
+    state2, info = potential_mod.solve_boundary_potential(geom, params, state, Vd)
+    ref = oracles.laplace_oracle(
+        s.coords, s.lattice, cfg.pbc, cfg.nn_dist, elems,
+        np.asarray(state.charge), np.asarray(geom.metal_mask_table),
+        cfg.high_G, cfg.low_G,
+        cfg.num_atoms_first_layer, cfg.num_atoms_first_layer,
+        -Vd / 2, Vd / 2, "boundary",
+    )
+    # CG vs direct: pointwise agreement is bounded by kappa(A)*tol with
+    # kappa ~ high_G/low_G = 1e8, so allow a few ulps of that
+    np.testing.assert_allclose(
+        np.asarray(state2.potential_boundary), ref, rtol=2e-5, atol=1e-7
+    )
+
+
+def test_cb_edge_vs_oracle(small_sim):
+    s, cfg, geom, params, state, elems = small_sim
+    Vd = 2.0
+    state2, _ = potential_mod.solve_cb_edge(geom, params, state, Vd)
+    ref = oracles.laplace_oracle(
+        s.coords, s.lattice, cfg.pbc, cfg.nn_dist, elems,
+        np.asarray(state.charge), np.asarray(geom.metal_mask_table),
+        cfg.high_G, cfg.low_G,
+        cfg.num_atoms_first_layer, cfg.num_atoms_first_layer,
+        Vd / 2, -Vd / 2, "cb",
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.CB_edge), ref * C.EV_TO_J, rtol=1e-6, atol=1e-25
+    )
+
+
+def test_poisson_vs_oracle(small_sim):
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    state2 = potential_mod.poisson_gridless(geom, params, state, block=64)
+    ref = oracles.poisson_oracle(
+        s.coords, s.lattice, cfg.pbc, np.asarray(state.charge),
+        cfg.sigma, cfg.k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.potential_charge), ref, rtol=1e-10, atol=1e-12
+    )
+
+
+def _current_ready_state(small_sim, Vd):
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    state, _ = potential_mod.solve_cb_edge(geom, params, state, Vd)
+    return s, cfg, geom, params, state, elems
+
+
+@pytest.mark.parametrize("method", ["direct", "cg"])
+def test_current_power_vs_oracle(small_sim, method):
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    state2, metrics = current_mod.update_power(
+        geom, params, state, Vd, method=method, cg_tol=1e-13
+    )
+    ai = np.asarray(geom.atom_ind)
+    I_ref, atom_power_ref, X_ref, M_ref = oracles.transmission_oracle(
+        s.coords[ai], s.lattice, cfg.pbc,
+        elems[ai], np.asarray(state.charge)[ai],
+        np.asarray(state.CB_edge)[ai],
+        np.asarray(geom.metal_mask_table), cfg, Vd,
+    )
+    # X assembly parity
+    X, _ = current_mod.assemble_X(geom, params, state, Vd)
+    np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-9, atol=1e-30)
+    # current + power parity
+    np.testing.assert_allclose(
+        float(state2.I_macro), I_ref, rtol=1e-5 if method == "cg" else 1e-9
+    )
+    power = np.asarray(state2.power)[ai]
+    np.testing.assert_allclose(
+        power, atom_power_ref,
+        rtol=1e-4 if method == "cg" else 1e-7,
+        atol=1e-18,
+    )
+
+
+def test_global_temperature():
+    cfg = KMCConfig(A=6.25e-19)
+    params = build_params(cfg)
+    s = make_test_structure(nx_contact=2, nx_oxide=4, ny=2, nz=2)
+    geom = build_geometry(s.elements, s.coords, KMCConfig(
+        lattice=list(s.lattice), nn_dist=3.0, A=6.25e-19,
+    ))
+    state = init_state(geom, cfg, s.elements)
+    state = state.replace(power=jnp.ones(geom.N, dtype=params.dtype) * 1e-6)
+    step_time = 1e-9
+    new_state, m = heat_mod.update_temperature_global(params, state, step_time)
+    # oracle (reference: heat_solver.cpp:316-350, using current T_bg)
+    P_tot = geom.N * 1e-6
+    C_th = cfg.A * cfg.t_ox * cfg.c_p * 1e6
+    a = cfg.dissipation_constant / C_th
+    c = a * 300.0 + P_tot / C_th
+    T_ref = c / a + (300.0 - c / a) * np.exp(-a * step_time)
+    assert np.isclose(float(new_state.T_bg), T_ref, rtol=1e-12)
+    assert float(new_state.T_bg) > 300.0

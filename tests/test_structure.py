@@ -1,0 +1,109 @@
+import numpy as np
+import os
+import pytest
+
+from devicekmc_tpu.structure import (
+    Element,
+    build_neighbor_list,
+    element_from_str,
+    element_to_str,
+    make_test_structure,
+    read_xyz,
+    site_dist,
+    translate_cell,
+    write_xyz,
+    assign_layers,
+)
+
+
+def brute_force_neighbors(coords, lattice, nn_dist, pbc):
+    n = len(coords)
+    d = site_dist(coords[:, None, :], coords[None, :, :], np.asarray(lattice), pbc)
+    mask = (d < nn_dist) & ~np.eye(n, dtype=bool)
+    max_nn = int(mask.sum(1).max())
+    out = np.full((n, max_nn), -1, dtype=np.int32)
+    for i in range(n):
+        nb = np.nonzero(mask[i])[0]
+        out[i, : len(nb)] = nb
+    return out
+
+
+def test_element_roundtrip():
+    for s in ["d", "Od", "V", "O", "Hf", "Ni", "Ti", "Pt", "N"]:
+        assert element_to_str(element_from_str(s)) == s
+
+
+def test_site_dist_pbc():
+    lattice = np.array([100.0, 10.0, 10.0])
+    a = np.array([0.0, 9.5, 0.0])
+    b = np.array([0.0, 0.5, 0.0])
+    # periodic in y: distance wraps to 1.0
+    assert np.isclose(site_dist(a, b, lattice, True), 1.0)
+    assert np.isclose(site_dist(a, b, lattice, False), 9.0)
+    # x never wraps
+    c = np.array([99.0, 0.0, 0.0])
+    d = np.array([1.0, 0.0, 0.0])
+    assert np.isclose(site_dist(c, d, lattice, True), 98.0)
+
+
+def test_neighbor_list_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 20, size=(300, 3))
+    lattice = [20.0, 20.0, 20.0]
+    for pbc in (False, True):
+        ref = brute_force_neighbors(coords, lattice, 3.0, pbc)
+        got = build_neighbor_list(coords, lattice, 3.0, pbc)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_neighbor_list_pbc_wraps():
+    # two atoms separated only through the periodic y boundary
+    coords = np.array([[0.0, 0.2, 0.0], [0.0, 9.8, 0.0], [5.0, 5.0, 5.0]])
+    lattice = [10.0, 10.0, 10.0]
+    nb = build_neighbor_list(coords, lattice, 1.0, True)
+    assert nb[0, 0] == 1 and nb[1, 0] == 0
+    nb_open = build_neighbor_list(coords, lattice, 1.0, False)
+    assert (nb_open == -1).all()
+
+
+def test_xyz_roundtrip(tmp_path):
+    s = make_test_structure(nx_contact=2, nx_oxide=4, ny=2, nz=2)
+    path = tmp_path / "s.xyz"
+    write_xyz(str(path), s.elements, s.coords, comment="Cell: 1 2 3")
+    e2, c2 = read_xyz(str(path))
+    np.testing.assert_array_equal(e2, s.elements)
+    np.testing.assert_allclose(c2, s.coords, atol=1e-5)
+
+
+REF_XYZ = "/root/reference/structures/single_devices/2.5nm/device_2.5.xyz"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_XYZ), reason="no reference")
+def test_read_reference_xyz():
+    elems, coords = read_xyz(REF_XYZ)
+    assert len(elems) == 6420
+    assert coords.shape == (6420, 3)
+    # first site is N at x=-21.0212 (contact)
+    assert elems[0] == int(Element.N)
+    assert np.isclose(coords[0, 0], -21.0212)
+
+
+def test_translate_cell_shape_preserved():
+    rng = np.random.default_rng(1)
+    coords = rng.uniform(0, 10, size=(50, 3))
+    out = translate_cell(coords, [10.0, 10.0, 10.0], [0.0, 0.5, 0.5])
+    assert out.shape == coords.shape
+    # x untouched up to centering
+    np.testing.assert_allclose(out[:, 0], coords[:, 0])
+
+
+def test_generated_structure_sane():
+    s = make_test_structure(nx_contact=2, nx_oxide=6, ny=3, nz=3)
+    lay = assign_layers(s.coords, s.layers)
+    assert lay.min() >= 0 and lay.max() == 4
+    # contacts are prefix/suffix after the x-sort
+    assert (lay[: s.num_atoms_first_layer] == 0).all()
+    # neighbour list has no isolated sites at this density
+    nb = build_neighbor_list(s.coords, s.lattice, 3.0, False)
+    assert (nb[:, 0] >= 0).all()
