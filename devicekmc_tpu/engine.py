@@ -162,12 +162,13 @@ class Simulation:
     def write_snapshot(self, step_count: int, folder: str):
         os.makedirs(folder, exist_ok=True)
         state = self.state
-        phi = np.asarray(state.potential_boundary + state.potential_charge)
-        power = np.asarray(state.power)
+        nr = self.geom.N_real
+        phi = np.asarray(state.potential_boundary + state.potential_charge)[:nr]
+        power = np.asarray(state.power)[:nr]
         write_xyz(
             os.path.join(folder, f"snapshot_{step_count}.xyz"),
-            np.asarray(state.element),
-            np.asarray(self.geom.coords),
+            np.asarray(state.element)[:nr],
+            np.asarray(self.geom.coords)[:nr],
             extra_cols=[phi, power],
         )
 

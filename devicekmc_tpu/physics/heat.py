@@ -212,9 +212,8 @@ def update_temperature_local(
         step_time > 1e3 * params.delta_t, steady, transient, state.temperature
     )
 
-    nac = params.num_atoms_contact
-    inner = temp[nac: geom.N - nac]
-    T_bg = jnp.mean(inner)
+    inner = geom.inner_mask
+    T_bg = jnp.sum(jnp.where(inner, temp, 0.0)) / jnp.sum(inner)
     new_state = state.replace(
         temperature=temp.astype(dtype), T_bg=T_bg.astype(dtype)
     )

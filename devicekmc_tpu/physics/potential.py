@@ -41,11 +41,6 @@ from ..state import Geometry, PhysParams, SimState
 from ..structure import Element
 
 
-def _interior_mask(N: int, n_left: int, n_right: int):
-    idx = jnp.arange(N)
-    return (idx >= n_left) & (idx < N - n_right)
-
-
 def _edge_conductance_boundary(geom: Geometry, state: SimState, params: PhysParams):
     """Per-edge conductance for the boundary-potential network:
     high_G iff (metal,metal) or (neutral vacancy, neutral vacancy)."""
@@ -76,19 +71,15 @@ def _dirichlet_laplace_solve(
     edge_g,             # [N, max_nn] conductances (0 at pads)
     v_left,
     v_right,
-    n_left: int,
-    n_right: int,
     x0,                 # [N] warm start (full-length; boundary part ignored)
     tol: float,
     maxiter: int,
 ):
-    """Solve the graph Laplacian with Dirichlet contacts on the first n_left /
-    last n_right sites.  Returns the full-length potential vector."""
-    N = geom.N
-    interior = _interior_mask(N, n_left, n_right)
-    idx = jnp.arange(N)
-    is_left = idx < n_left
-    is_right = idx >= N - n_right
+    """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
+    geom.right_mask).  Returns the full-length potential vector."""
+    interior = geom.interior_mask
+    is_left = geom.left_mask
+    is_right = geom.right_mask
 
     diag = jnp.sum(edge_g, axis=1)          # row sum of conductances
     safe = jnp.maximum(geom.neigh_idx, 0)
@@ -129,7 +120,7 @@ def solve_boundary_potential(
     vl = jnp.asarray(-Vd / 2.0, dtype=params.dtype)
     vr = jnp.asarray(Vd / 2.0, dtype=params.dtype)
     phi, res = _dirichlet_laplace_solve(
-        geom, edge_g, vl, vr, params.N_left_tot, params.N_right_tot,
+        geom, edge_g, vl, vr,
         x0=state.potential_boundary,
         tol=params.solver_tol, maxiter=params.solver_maxiter,
     )
@@ -147,7 +138,7 @@ def solve_cb_edge(
     vr = jnp.asarray(-Vd / 2.0, dtype=params.dtype)
     x0 = state.CB_edge / C.EV_TO_J
     phi, res = _dirichlet_laplace_solve(
-        geom, edge_g, vl, vr, params.N_left_tot, params.N_right_tot,
+        geom, edge_g, vl, vr,
         x0=x0, tol=params.solver_tol, maxiter=params.solver_maxiter,
     )
     return (
@@ -183,10 +174,11 @@ def _poisson_rows(coords, charge_f, lattice, sigma, k, pbc: bool, block: int):
     def one_block(args):
         rows_c, rows_i = args                     # [block,3], [block]
         dist = _pairwise_dist(rows_c, coords, lattice, pbc) * 1e-10  # [m]
-        self_mask = rows_i[:, None] == col_ids[None, :]
-        dist = jnp.where(self_mask, 1.0, dist)
+        # exclude self-pairs and coincident pad sites (zero distance)
+        dead = (rows_i[:, None] == col_ids[None, :]) | (dist <= 0.0)
+        dist = jnp.where(dead, 1.0, dist)
         contrib = charge_f[None, :] * erfc(dist * inv_s) * k * C.Q_C / dist
-        contrib = jnp.where(self_mask, 0.0, contrib)
+        contrib = jnp.where(dead, 0.0, contrib)
         return jnp.sum(contrib, axis=1)
 
     blocks_c = coords_p.reshape(-1, block, 3)

@@ -55,8 +55,19 @@ class Geometry:
     layer_E: Any         # [n_layers, 4] float: E_gen_0, E_rec_1, E_diff_2, E_diff_3
     lattice: Any         # [3] float
 
+    # contact / interior site masks.  Contacts are the first/last
+    # num_atoms_first_layer *real* sites (the solvers' positional convention,
+    # e.g. src/potential_solver.cpp:294-296); masks rather than index ranges
+    # so the site axis can be padded for even mesh sharding.
+    left_mask: Any       # [N] bool: Dirichlet left contact
+    right_mask: Any      # [N] bool: Dirichlet right contact
+    interior_mask: Any   # [N] bool: real non-contact sites
+    inner_mask: Any      # [N] bool: sites [num_atoms_contact, N_real-nac)
+    real_mask: Any       # [N] bool: non-padding sites
+
     # static metadata
-    N: int = struct.field(pytree_node=False, default=0)
+    N: int = struct.field(pytree_node=False, default=0)        # padded
+    N_real: int = struct.field(pytree_node=False, default=0)
     max_nn: int = struct.field(pytree_node=False, default=0)
     N_atom: int = struct.field(pytree_node=False, default=0)
     pbc: bool = struct.field(pytree_node=False, default=False)
@@ -132,11 +143,28 @@ def build_geometry(
     cfg: KMCConfig,
     max_nn: Optional[int] = None,
     neigh_idx: Optional[np.ndarray] = None,
+    pad_to: int = 1,
 ) -> Geometry:
+    """Build the static geometry pytree.  ``pad_to`` rounds the site axis up
+    to a multiple (inert DEFECT pad sites with no neighbours) so arrays can
+    be evenly sharded over a device mesh."""
     dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
     lattice = np.asarray(cfg.lattice, dtype=np.float64)
     if neigh_idx is None:
         neigh_idx = build_neighbor_list(coords, lattice, cfg.nn_dist, cfg.pbc, max_nn)
+
+    n_real = len(elements)
+    n_pad = (-n_real) % max(pad_to, 1)
+    if n_pad:
+        elements = np.concatenate(
+            [elements, np.full(n_pad, int(Element.DEFECT), dtype=elements.dtype)]
+        )
+        coords = np.concatenate(
+            [coords, np.tile(coords[:1], (n_pad, 1))]
+        )
+        neigh_idx = np.concatenate(
+            [neigh_idx, np.full((n_pad, neigh_idx.shape[1]), -1, dtype=neigh_idx.dtype)]
+        )
     n, m = neigh_idx.shape
     valid = neigh_idx >= 0
     safe_idx = np.where(valid, neigh_idx, 0)
@@ -167,6 +195,15 @@ def build_geometry(
     atom_mask = ~np.isin(elements, [int(e) for e in NON_ATOM_ELEMENTS])
     atom_ind = np.nonzero(atom_mask)[0].astype(np.int32)
 
+    idx = np.arange(n)
+    n_left = n_right = cfg.num_atoms_first_layer
+    nac = cfg.num_atoms_contact
+    left_mask = idx < n_left
+    right_mask = (idx >= n_real - n_right) & (idx < n_real)
+    interior_mask = (idx >= n_left) & (idx < n_real - n_right)
+    inner_mask = (idx >= nac) & (idx < n_real - nac)
+    real_mask = idx < n_real
+
     return Geometry(
         coords=jnp.asarray(coords, dtype=dtype),
         neigh_idx=jnp.asarray(neigh_idx, dtype=jnp.int32),
@@ -178,7 +215,13 @@ def build_geometry(
         metal_mask_table=jnp.asarray(metal_table),
         layer_E=jnp.asarray(layer_E, dtype=dtype),
         lattice=jnp.asarray(lattice, dtype=dtype),
+        left_mask=jnp.asarray(left_mask),
+        right_mask=jnp.asarray(right_mask),
+        interior_mask=jnp.asarray(interior_mask),
+        inner_mask=jnp.asarray(inner_mask),
+        real_mask=jnp.asarray(real_mask),
         N=int(n),
+        N_real=int(n_real),
         max_nn=int(m),
         N_atom=int(atom_mask.sum()),
         pbc=bool(cfg.pbc),
@@ -256,6 +299,12 @@ def init_state(
 ) -> SimState:
     dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
     n = geom.N
+    elements = np.asarray(elements)
+    if len(elements) < n:  # site axis padded for sharding
+        elements = np.concatenate(
+            [elements, np.full(n - len(elements), int(Element.DEFECT),
+                               dtype=elements.dtype)]
+        )
     zeros = jnp.zeros(n, dtype=dtype)
     return SimState(
         element=jnp.asarray(elements, dtype=jnp.int32),
@@ -279,6 +328,7 @@ def build_simulation(
     cfg: KMCConfig,
     elements: Optional[np.ndarray] = None,
     coords: Optional[np.ndarray] = None,
+    pad_to: int = 1,
 ) -> Tuple[Geometry, PhysParams, SimState]:
     """Full setup: read structure files (or accept arrays), apply shifts and
     substoichiometry, build geometry/params/state.
@@ -307,7 +357,7 @@ def build_simulation(
             elements, cfg.initial_vacancy_concentration, cfg.rnd_seed
         )
 
-    geom = build_geometry(elements, coords, cfg)
+    geom = build_geometry(elements, coords, cfg, pad_to=pad_to)
     params = build_params(cfg)
     state = init_state(geom, cfg, elements)
     return geom, params, state
