@@ -81,34 +81,7 @@ def make_superstep(geom: Geometry, params: PhysParams, heat):
     geom/heat are passed as traced arguments (not closure constants) so the
     compiled program does not embed the big static arrays as literals.
     """
-
-    def superstep_impl(geom, params, heat, state: SimState, Vd):
-        metrics: Dict = {}
-        if params.solve_potential:
-            state, m = charge_mod.update_charge(geom, state)
-            metrics.update(m)
-            state, m = potential_mod.solve_boundary_potential(
-                geom, params, state, Vd
-            )
-            metrics.update(m)
-            state = potential_mod.poisson_gridless(geom, params, state)
-
-        step_time = jnp.asarray(0.0, params.dtype)
-        if params.perturb_structure:
-            res = events_mod.execute_superstep(geom, params, state)
-            state, step_time = res.state, res.step_time
-            metrics["n_events"] = res.n_events
-
-        if params.solve_current:
-            state, m = current_mod.update_power(geom, params, state, Vd)
-            metrics.update(m)
-            if params.solve_heating_global or params.solve_heating_local:
-                state, m = heat_mod.update_temperature(
-                    geom, params, heat, state, step_time
-                )
-                metrics.update(m)
-
-        return state, step_time, metrics
+    from .superstep import superstep_impl
 
     jitted = jax.jit(superstep_impl)
 

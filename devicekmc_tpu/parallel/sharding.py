@@ -102,41 +102,9 @@ def make_sharded_superstep(
     resharding.  Returns ``superstep(state, Vd) -> (state, step_time,
     metrics)``.
     """
-    from ..engine import make_superstep as _make_plain
-
-    # reuse the exact same superstep body — only data placement differs
-    from ..physics import charge as charge_mod
-    from ..physics import current as current_mod
-    from ..physics import events as events_mod
-    from ..physics import heat as heat_mod
-    from ..physics import potential as potential_mod
-
-    def superstep_impl(geom, params, heat, state, Vd):
-        metrics = {}
-        if params.solve_potential:
-            state, m = charge_mod.update_charge(geom, state)
-            metrics.update(m)
-            state, m = potential_mod.solve_boundary_potential(
-                geom, params, state, Vd
-            )
-            metrics.update(m)
-            state = potential_mod.poisson_gridless(geom, params, state)
-
-        step_time = jnp.asarray(0.0, params.dtype)
-        if params.perturb_structure:
-            res = events_mod.execute_superstep(geom, params, state)
-            state, step_time = res.state, res.step_time
-            metrics["n_events"] = res.n_events
-
-        if params.solve_current:
-            state, m = current_mod.update_power(geom, params, state, Vd)
-            metrics.update(m)
-            if params.solve_heating_global or params.solve_heating_local:
-                state, m = heat_mod.update_temperature(
-                    geom, params, heat, state, step_time
-                )
-                metrics.update(m)
-        return state, step_time, metrics
+    # the exact same superstep body as the single-device path — only data
+    # placement differs
+    from ..superstep import superstep_impl
 
     jitted = jax.jit(superstep_impl)
 

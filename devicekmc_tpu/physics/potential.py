@@ -191,10 +191,61 @@ def poisson_gridless(
     geom: Geometry, params: PhysParams, state: SimState, block: int = 256
 ) -> SimState:
     """V_i = sum_{j != i, q_j != 0} v_solve(r_ij, q_j)
-    (src/potential_solver.cpp:412-432)."""
+    (src/potential_solver.cpp:412-432).  Full O(N^2) row sweep."""
     charge_f = state.charge.astype(params.dtype)
     v = _poisson_rows(
         geom.coords, charge_f, geom.lattice, params.sigma, params.k,
         geom.pbc, block,
     )
     return state.replace(potential_charge=v.astype(params.dtype))
+
+
+@partial(jax.jit, static_argnames=("pbc", "block", "cap"))
+def _poisson_rows_compact(
+    coords, charge, lattice, sigma, k, pbc: bool, block: int, cap: int
+):
+    """O(N * n_charged) variant: compact the charged sites into a fixed-size
+    buffer first.  Exact when the charged-site count fits in ``cap``
+    (checked by the caller via the returned count)."""
+    N = coords.shape[0]
+    (charged_idx,) = jnp.nonzero(charge != 0, size=cap, fill_value=0)
+    n_charged = jnp.sum(charge != 0)
+    slot_valid = jnp.arange(cap) < n_charged
+    c_coords = coords[charged_idx]                       # [cap, 3]
+    c_charge = jnp.where(slot_valid, charge[charged_idx], 0).astype(coords.dtype)
+
+    n_pad = (-N) % block
+    coords_p = jnp.pad(coords, ((0, n_pad), (0, 0)))
+    row_ids = jnp.arange(N + n_pad)
+    inv_s = 1.0 / (sigma * jnp.sqrt(2.0))
+
+    def one_block(args):
+        rows_c, rows_i = args
+        dist = _pairwise_dist(rows_c, c_coords, lattice, pbc) * 1e-10
+        dead = (rows_i[:, None] == charged_idx[None, :]) | (dist <= 0.0)
+        dist = jnp.where(dead, 1.0, dist)
+        contrib = c_charge[None, :] * erfc(dist * inv_s) * k * C.Q_C / dist
+        contrib = jnp.where(dead, 0.0, contrib)
+        return jnp.sum(contrib, axis=1)
+
+    out = jax.lax.map(
+        one_block,
+        (coords_p.reshape(-1, block, 3), row_ids.reshape(-1, block)),
+    )
+    return out.reshape(-1)[:N], n_charged
+
+
+def poisson_gridless_compact(
+    geom: Geometry,
+    params: PhysParams,
+    state: SimState,
+    cap: int,
+    block: int = 512,
+):
+    """Charged-site-compacted Poisson.  Returns (state, n_charged); the
+    driver should verify n_charged <= cap (exactness condition)."""
+    v, n_charged = _poisson_rows_compact(
+        geom.coords, state.charge, geom.lattice, params.sigma, params.k,
+        geom.pbc, block, cap,
+    )
+    return state.replace(potential_charge=v.astype(params.dtype)), n_charged

@@ -112,6 +112,7 @@ class PhysParams:
     solver_maxiter: int = struct.field(pytree_node=False, default=50000)
     selection: str = struct.field(pytree_node=False, default="two_level")
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
+    poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
 
@@ -266,6 +267,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         solver_maxiter=cfg.solver_maxiter,
         selection=cfg.selection,
         max_events_per_superstep=cfg.max_events_per_superstep,
+        poisson_compact_cap=cfg.poisson_compact_cap,
         dtype=dtype,
     )
 

@@ -166,3 +166,20 @@ def test_global_temperature():
     T_ref = c / a + (300.0 - c / a) * np.exp(-a * step_time)
     assert np.isclose(float(new_state.T_bg), T_ref, rtol=1e-12)
     assert float(new_state.T_bg) > 300.0
+
+
+def test_poisson_compact_matches_dense(small_sim):
+    from devicekmc_tpu.physics import charge as charge_mod
+
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    dense = potential_mod.poisson_gridless(geom, params, state, block=64)
+    compact, n_charged = potential_mod.poisson_gridless_compact(
+        geom, params, state, cap=64, block=64
+    )
+    assert int(n_charged) <= 64
+    np.testing.assert_allclose(
+        np.asarray(compact.potential_charge),
+        np.asarray(dense.potential_charge),
+        rtol=1e-12, atol=1e-14,
+    )
