@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Headline benchmark: KMC supersteps/second on the reference's own timing
+configuration — the 110,813-site (75,360-atom) 10nm/5-pitch crossbar, restart
+snapshot, Vd = 1 V, modules: charge + boundary-potential CG + gridless
+Poisson + KMC events (exactly what the committed reference timing log ran:
+structures/crossbars/timing_10nm_5pitch/{parameters.txt,output_initial.txt};
+solve_current = solve_heating_* = 0).
+
+Baseline: reference GPU build on a P100-class GPU, median superstep wall time
+2.04 s => 0.490 supersteps/s (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "kmc_supersteps_per_s", "value": ..., "unit": "steps/s",
+   "vs_baseline": ...}
+
+Usage: python bench.py [--steps N] [--warmup N] [--precision f32|f64]
+       [--structure PATH.xyz] [--synthetic N_SITES]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_S = 1.0 / 2.04
+
+CROSSBAR_DIR = "/root/reference/structures/crossbars/timing_10nm_5pitch"
+CROSSBAR_XYZ = os.path.join(CROSSBAR_DIR, "reordered_crossbar_10_5_initial.xyz")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def build_crossbar_sim(precision: str):
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.physics import heat as heat_mod
+    from devicekmc_tpu.state import build_geometry, build_params, init_state
+    from devicekmc_tpu.structure import build_neighbor_list, read_xyz
+
+    cfg = KMCConfig(
+        lattice=[108.98, 102.3, 102.3],
+        nn_dist=3.5,
+        pbc=False,
+        num_atoms_first_layer=144,
+        num_layers_contact=10,
+        num_atoms_contact=11520,
+        solve_potential=True,
+        solve_current=False,
+        solve_heating_global=False,
+        solve_heating_local=False,
+        perturb_structure=True,
+        precision=precision,
+        poisson_compact_cap=16384,
+        solver_tol=1e-10,
+    )
+    elements, coords = read_xyz(CROSSBAR_XYZ)
+
+    # crossbar sites span x in [-21.02, ~87.9]; widen the default layer table
+    # x-extents to cover the full span (the reference's compile-time table
+    # covers -22..90, structure_input.h)
+    cfg.layers[0].start_x = float(coords[:, 0].min()) - 1.0
+    cfg.layers[-1].end_x = float(coords[:, 0].max()) + 1.0
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"nb_crossbar_{len(elements)}.npz")
+    if os.path.exists(cache):
+        neigh_idx = np.load(cache)["neigh_idx"]
+    else:
+        t0 = time.time()
+        neigh_idx = build_neighbor_list(coords, cfg.lattice, cfg.nn_dist, cfg.pbc)
+        print(f"# neighbor list built in {time.time()-t0:.1f}s "
+              f"(max_nn={neigh_idx.shape[1]})", file=sys.stderr)
+        np.savez_compressed(cache, neigh_idx=neigh_idx)
+
+    geom = build_geometry(elements, coords, cfg, neigh_idx=neigh_idx)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elements)
+    heat = heat_mod.empty_heat_model(params)
+    return geom, params, heat, state
+
+
+def build_synthetic_sim(n_sites: int, precision: str):
+    """Synthetic stack of comparable size when the reference tree is absent."""
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.physics import heat as heat_mod
+    from devicekmc_tpu.state import (
+        build_geometry, build_params, init_state, make_substoichiometric,
+    )
+    from devicekmc_tpu.structure import make_test_structure
+
+    ny = nz = max(4, int((n_sites / 18) ** (1 / 3)))
+    nx_ox = max(8, n_sites // (ny * nz) - 6)
+    s = make_test_structure(nx_contact=3, nx_oxide=nx_ox, ny=ny, nz=nz, seed=1)
+    cfg = KMCConfig(
+        lattice=list(s.lattice), nn_dist=3.0, pbc=False,
+        num_atoms_first_layer=s.num_atoms_first_layer,
+        num_layers_contact=s.num_layers_contact,
+        num_atoms_contact=s.num_atoms_contact,
+        layers=s.layers,
+        solve_potential=True, solve_current=False,
+        perturb_structure=True, precision=precision,
+        poisson_compact_cap=8192, solver_tol=1e-10,
+    )
+    elems = make_substoichiometric(s.elements, 0.05, seed=5)
+    geom = build_geometry(elems, s.coords, cfg)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elems)
+    return geom, params, build_params(cfg), heat_mod.empty_heat_model(params), state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--precision", default="f64", choices=["f32", "f64"])
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from devicekmc_tpu.superstep import superstep_impl
+
+    if args.synthetic or not os.path.exists(CROSSBAR_XYZ):
+        geom, params, _, heat, state = build_synthetic_sim(
+            args.synthetic or 100_000, args.precision
+        )
+    else:
+        geom, params, heat, state = build_crossbar_sim(args.precision)
+
+    print(f"# N={geom.N} sites, max_nn={geom.max_nn}, "
+          f"backend={jax.default_backend()}, precision={args.precision}",
+          file=sys.stderr)
+
+    step = jax.jit(superstep_impl)
+    Vd = 1.0
+
+    t0 = time.time()
+    for _ in range(args.warmup):
+        state, st, metrics = step(geom, params, heat, state, Vd)
+    jax.block_until_ready(state.element)
+    print(f"# warmup ({args.warmup} steps incl. compile): {time.time()-t0:.2f}s",
+          file=sys.stderr)
+
+    times = []
+    total_events = 0
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, st, metrics = step(geom, params, heat, state, Vd)
+        jax.block_until_ready(state.element)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total_events += int(metrics["n_events"])
+        if args.verbose:
+            print(f"# step {i}: {dt:.4f}s, events={int(metrics['n_events'])}, "
+                  f"cg={int(metrics['cg_iters_boundary'])}", file=sys.stderr)
+
+    median = float(np.median(times))
+    steps_per_s = 1.0 / median
+    print(f"# median superstep {median:.4f}s, mean {np.mean(times):.4f}s, "
+          f"{total_events} events in {args.steps} steps", file=sys.stderr)
+    print(json.dumps({
+        "metric": "kmc_supersteps_per_s",
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

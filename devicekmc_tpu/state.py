@@ -173,14 +173,25 @@ def build_geometry(
     # static pair geometry
     pj = coords[safe_idx]                       # [N, max_nn, 3]
     dist = site_dist(coords[:, None, :], pj, lattice, cfg.pbc)
-    dist = np.where(valid, dist, 1.0)           # avoid 0-division on pads
+    # guard pads and coincident sites (duplicate coordinates exist in some
+    # reference structure files) against 0-division
+    degenerate = valid & (dist <= 0.0)
+    if degenerate.any():
+        import warnings
+
+        warnings.warn(
+            f"{int(degenerate.sum())} neighbour pairs at zero distance "
+            "(duplicate coordinates); their Coulomb kernel is zeroed"
+        )
+    dead = ~valid | degenerate
+    dist = np.where(dead, 1.0, dist)
 
     # screened-Coulomb self-interaction kernel per unit charge
     # v_solve(r, q) = q * erfc(r/(sigma*sqrt2)) * k * e / r  (src/utils.h:102)
     r_m = dist * 1e-10
     from scipy.special import erfc as np_erfc
     v2 = np_erfc(r_m / (cfg.sigma * np.sqrt(2.0))) * cfg.k * C.Q_C / r_m
-    v2 = np.where(valid, v2, 0.0)
+    v2 = np.where(dead, 0.0, v2)
 
     site_layer = assign_layers(coords, cfg.layers)
     layer_E = np.array(

@@ -184,6 +184,12 @@ def translate_cell(
 # neighbour list (padded ELL)
 # ----------------------------------------------------------------------------
 
+try:
+    import devicekmc_native as _native
+except ImportError:  # optional C++ runtime (build: python setup.py build_ext)
+    _native = None
+
+
 def build_neighbor_list(
     coords: np.ndarray,
     lattice: Sequence[float],
@@ -198,7 +204,28 @@ def build_neighbor_list(
     Spatial-binned O(N * local) construction; pad value is -1.  Neighbour
     order within a row is ascending site index, matching the reference's
     adjacency-list construction order (its inner j loop runs 0..N).
+
+    Uses the OpenMP C++ builder from ``devicekmc_native`` when available,
+    else the numpy implementation below.
     """
+    if _native is not None:
+        return _native.build_neighbor_list(
+            np.ascontiguousarray(coords, dtype=np.float64),
+            np.ascontiguousarray(lattice, dtype=np.float64),
+            float(nn_dist), int(bool(pbc)),
+            int(max_nn) if max_nn else 0,
+        )
+    return _build_neighbor_list_numpy(coords, lattice, nn_dist, pbc, max_nn, block)
+
+
+def _build_neighbor_list_numpy(
+    coords: np.ndarray,
+    lattice: Sequence[float],
+    nn_dist: float,
+    pbc: bool,
+    max_nn: Optional[int] = None,
+    block: int = 2048,
+) -> np.ndarray:
     coords = np.asarray(coords, dtype=np.float64)
     lattice = np.asarray(lattice, dtype=np.float64)
     n = len(coords)

@@ -107,3 +107,23 @@ def test_generated_structure_sane():
     # neighbour list has no isolated sites at this density
     nb = build_neighbor_list(s.coords, s.lattice, 3.0, False)
     assert (nb[:, 0] >= 0).all()
+
+
+def test_native_matches_numpy_neighbor_list():
+    import importlib
+
+    from devicekmc_tpu import structure as st
+
+    if st._native is None:
+        import pytest
+
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(0, 25, size=(800, 3))
+    lattice = [25.0, 25.0, 25.0]
+    for pbc in (False, True):
+        a = st._native.build_neighbor_list(
+            coords, np.asarray(lattice), 3.0, int(pbc), 0
+        )
+        b = st._build_neighbor_list_numpy(coords, lattice, 3.0, pbc)
+        np.testing.assert_array_equal(a, b)
