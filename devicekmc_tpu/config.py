@@ -139,7 +139,7 @@ class KMCConfig:
     solver_maxiter: int = 50000            # CG iteration cap (reference warns at 50k)
     selection: str = "two_level"           # "two_level" | "flat" event selection
     max_events_per_superstep: int = 10000  # safety bound for the on-device loop
-    poisson_compact_cap: int = 0           # >0: charged-site compaction size (0 = dense O(N^2))
+    poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
 
     # ------------------------------------------------------------------
     # derived parameters (reference: input_parser.cpp:391-398)

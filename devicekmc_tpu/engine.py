@@ -118,9 +118,45 @@ class Simulation:
         else:
             self.heat = heat_mod.empty_heat_model(self.params)
         self.fused = fused
+        if cfg.poisson_compact_cap == -1:
+            self.params = self.params.replace(
+                poisson_compact_cap=self._auto_poisson_cap()
+            )
         self._superstep = make_superstep(self.geom, self.params, self.heat)
         self._buffer = []
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
+
+    def _auto_poisson_cap(self) -> int:
+        """Power-of-two bucket covering every chargeable site (V / Od species
+        count bounds the charged count, so compaction stays exact); grown by
+        the driver when events approach the bucket."""
+        e = np.asarray(self.state.element)
+        from .structure import Element
+
+        n_species = int(
+            ((e == int(Element.VACANCY)) | (e == int(Element.OXYGEN_DEFECT))).sum()
+        )
+        cap = 256
+        while cap < min(self.geom.N, int(1.3 * n_species) + 8):
+            cap *= 2
+        return min(cap, self.geom.N)
+
+    def _maybe_grow_poisson_cap(self, metrics: Dict):
+        if self.cfg.poisson_compact_cap != -1:
+            return
+        try:
+            n_species = int(metrics["Charged vacancies"]) + int(
+                metrics["Uncharged vacancies"]
+            ) + int(metrics["Charged oxygen ions"]) + int(
+                metrics["Uncharged oxygen ions"]
+            )
+        except KeyError:
+            return
+        cap = self.params.poisson_compact_cap
+        if n_species > 0.75 * cap and cap < self.geom.N:
+            new_cap = min(max(cap * 2, 256), self.geom.N)
+            self.params = self.params.replace(poisson_compact_cap=new_cap)
+            self._superstep = make_superstep(self.geom, self.params, self.heat)
 
     # -- logging ---------------------------------------------------------
     def _log(self, text: str):
@@ -241,6 +277,7 @@ class Simulation:
 
             I_macro = float(self.state.I_macro)
             result = {k: float(v) for k, v in metrics.items()}
+            self._maybe_grow_poisson_cap(result)
             result["Z - calculation time - KMC superstep [s]"] = dt_step
             summary = result
 

@@ -33,7 +33,7 @@ def update_charge(geom: Geometry, state: SimState) -> Tuple[SimState, Dict]:
     nb_is_vac = (nb_elem == int(Element.VACANCY)) & valid
     nb_is_metal = geom.metal_mask_table[nb_elem] & valid
 
-    n_vac_nn = jnp.sum(nb_is_vac, axis=1)
+    n_vac_nn = jnp.sum(nb_is_vac, axis=1, dtype=jnp.int32)
     has_metal_nn = jnp.any(nb_is_metal, axis=1)
 
     is_vac = elem == int(Element.VACANCY)

@@ -85,7 +85,7 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
     loop_G = params.high_G * 1e7                 # src/current_solver.cpp:8
     tol = C.Q_C * 0.01                           # [J]
 
-    idx = jnp.arange(Na)
+    idx = jnp.arange(Na, dtype=jnp.int32)
     eye = idx[:, None] == idx[None, :]
     dist = _pairwise_dist_atoms(apos, geom.lattice, geom.pbc)  # [Angstrom]
     neighbor = (dist < params.nn_dist) & ~eye
@@ -221,7 +221,7 @@ def update_power(
     dM = Ms[:, None] - Ms[None, :]
     I_cal = X[2:, 2:] * dM
     fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
-    idx = jnp.arange(Na)
+    idx = jnp.arange(Na, dtype=jnp.int32)
     offd = idx[:, None] != idx[None, :]
     I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
     # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i])  (diagonal fold + gemv,

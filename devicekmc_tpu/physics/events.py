@@ -192,7 +192,7 @@ def _select_flat(prob, u):
     cum = jnp.cumsum(flat)
     psum = cum[-1]
     target = u * psum
-    idx = jnp.searchsorted(cum, target, side="right")
+    idx = jnp.searchsorted(cum, target, side="right").astype(jnp.int32)
     idx = jnp.minimum(idx, flat.shape[0] - 1)
     return psum, idx
 
@@ -204,12 +204,12 @@ def _select_two_level(prob, u):
     row_cum = jnp.cumsum(row_sums)
     psum = row_cum[-1]
     target = u * psum
-    row = jnp.searchsorted(row_cum, target, side="right")
+    row = jnp.searchsorted(row_cum, target, side="right").astype(jnp.int32)
     row = jnp.minimum(row, n - 1)
     base = jnp.where(row > 0, row_cum[row - 1], 0.0)
     inner = target - base
     slot_cum = jnp.cumsum(prob[row])
-    slot = jnp.searchsorted(slot_cum, inner, side="right")
+    slot = jnp.searchsorted(slot_cum, inner, side="right").astype(jnp.int32)
     slot = jnp.minimum(slot, m - 1)
     return psum, row * m + slot
 
@@ -234,6 +234,7 @@ def execute_superstep(
         key, k_sel, k_time = jax.random.split(key, 3)
         u_sel = jax.random.uniform(k_sel, dtype=prob.dtype)
         psum, idx = select(prob, u_sel)
+        idx = idx.astype(jnp.int32)
 
         i = idx // m
         j = geom.neigh_idx.reshape(-1)[idx]

@@ -166,8 +166,8 @@ def _poisson_rows(coords, charge_f, lattice, sigma, k, pbc: bool, block: int):
     N = coords.shape[0]
     n_pad = (-N) % block
     coords_p = jnp.pad(coords, ((0, n_pad), (0, 0)))
-    row_ids = jnp.arange(N + n_pad)
-    col_ids = jnp.arange(N)
+    row_ids = jnp.arange(N + n_pad, dtype=jnp.int32)
+    col_ids = jnp.arange(N, dtype=jnp.int32)
 
     inv_s = 1.0 / (sigma * jnp.sqrt(2.0))
 
@@ -209,14 +209,15 @@ def _poisson_rows_compact(
     (checked by the caller via the returned count)."""
     N = coords.shape[0]
     (charged_idx,) = jnp.nonzero(charge != 0, size=cap, fill_value=0)
-    n_charged = jnp.sum(charge != 0)
-    slot_valid = jnp.arange(cap) < n_charged
+    charged_idx = charged_idx.astype(jnp.int32)
+    n_charged = jnp.sum(charge != 0, dtype=jnp.int32)
+    slot_valid = jnp.arange(cap, dtype=jnp.int32) < n_charged
     c_coords = coords[charged_idx]                       # [cap, 3]
     c_charge = jnp.where(slot_valid, charge[charged_idx], 0).astype(coords.dtype)
 
     n_pad = (-N) % block
     coords_p = jnp.pad(coords, ((0, n_pad), (0, 0)))
-    row_ids = jnp.arange(N + n_pad)
+    row_ids = jnp.arange(N + n_pad, dtype=jnp.int32)
     inv_s = 1.0 / (sigma * jnp.sqrt(2.0))
 
     def one_block(args):
