@@ -39,19 +39,27 @@ from .structure import write_xyz
 
 
 # ----------------------------------------------------------------------------
-# jitted phases
+# jitted phases (used by the modular, per-phase-timed driver mode)
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=())
-def _phase_charge(geom, params, state):
+@jax.jit
+def _phase_charge(geom, state):
     return charge_mod.update_charge(geom, state)
 
 
 @jax.jit
-def _phase_potential(geom, params, state, Vd):
-    state, m1 = potential_mod.solve_boundary_potential(geom, params, state, Vd)
-    state = potential_mod.poisson_gridless(geom, params, state)
-    return state, m1
+def _phase_boundary(geom, params, state, Vd):
+    return potential_mod.solve_boundary_potential(geom, params, state, Vd)
+
+
+@jax.jit
+def _phase_poisson(geom, params, state):
+    if params.poisson_compact_cap > 0:
+        state, n = potential_mod.poisson_gridless_compact(
+            geom, params, state, cap=params.poisson_compact_cap
+        )
+        return state, {"n_charged_sites": n}
+    return potential_mod.poisson_gridless(geom, params, state), {}
 
 
 @jax.jit
@@ -91,6 +99,59 @@ def make_superstep(geom: Geometry, params: PhysParams, heat):
     return superstep
 
 
+def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
+    """Per-phase superstep with host syncs between phases, emitting the
+    reference's per-module timing keys (src/kmc_main.cpp:272-277,
+    consumed by the timing postprocessing)."""
+
+    def superstep(state: SimState, Vd):
+        metrics: Dict = {}
+
+        def timed(key, fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            metrics[f"Z - calculation time - {key} [s]"] = (
+                time.perf_counter() - t0
+            )
+            return out
+
+        if params.solve_potential:
+            state, m = timed("charge", _phase_charge, geom, state)
+            metrics.update(m)
+            state, m = timed(
+                "potential from boundaries", _phase_boundary,
+                geom, params, state, Vd,
+            )
+            metrics.update(m)
+            state, m = timed(
+                "potential from charges", _phase_poisson, geom, params, state
+            )
+            metrics.update(m)
+
+        step_time = jnp.asarray(0.0, params.dtype)
+        if params.perturb_structure:
+            res = timed("kmc events", _phase_events, geom, params, state)
+            state, step_time = res.state, res.step_time
+            metrics["n_events"] = res.n_events
+
+        if params.solve_current:
+            (state, m) = timed(
+                "dissipated power", _phase_power, geom, params, state, Vd
+            )
+            metrics.update(m)
+            if params.solve_heating_global or params.solve_heating_local:
+                state, m = timed(
+                    "temperature", _phase_heat, geom, params, heat, state,
+                    step_time,
+                )
+                metrics.update(m)
+
+        return state, step_time, metrics
+
+    return superstep
+
+
 # ----------------------------------------------------------------------------
 # driver
 # ----------------------------------------------------------------------------
@@ -122,7 +183,8 @@ class Simulation:
             self.params = self.params.replace(
                 poisson_compact_cap=self._auto_poisson_cap()
             )
-        self._superstep = make_superstep(self.geom, self.params, self.heat)
+        self._make = make_superstep if fused else make_modular_superstep
+        self._superstep = self._make(self.geom, self.params, self.heat)
         self._buffer = []
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
@@ -156,7 +218,7 @@ class Simulation:
         if n_species > 0.75 * cap and cap < self.geom.N:
             new_cap = min(max(cap * 2, 256), self.geom.N)
             self.params = self.params.replace(poisson_compact_cap=new_cap)
-            self._superstep = make_superstep(self.geom, self.params, self.heat)
+            self._superstep = self._make(self.geom, self.params, self.heat)
 
     # -- logging ---------------------------------------------------------
     def _log(self, text: str):

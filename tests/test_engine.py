@@ -117,3 +117,13 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(sim2.state.key), np.asarray(sim.state.key)
     )
     assert float(sim2.state.T_bg) == float(sim.state.T_bg)
+
+
+def test_modular_driver_emits_timing_keys(tmp_path):
+    cfg, s = _make_cfg(tmp_path)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords, fused=False)
+    sim.run_bias_point(2.0, 1e-12, max_steps=2)
+    out = open(os.path.join(tmp_path, "output.txt")).read()
+    for key in ("charge", "potential from boundaries", "potential from charges",
+                "kmc events", "dissipated power"):
+        assert f"Z - calculation time - {key} [s]:" in out, key
