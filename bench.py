@@ -118,7 +118,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--precision", default="f64", choices=["f32", "f64"])
+    ap.add_argument(
+        "--precision", default="mixed", choices=["f32", "f64", "mixed"],
+        help="mixed = f32 kernels + f64 iterative-refinement solves "
+             "(validated against f64, tools/precision_study.py)",
+    )
     ap.add_argument("--synthetic", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

@@ -84,3 +84,66 @@ def cg_solve(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32))
     )
     return CGResult(x=x, iters=iters, residual=jnp.sqrt(jnp.dot(r, r)))
+
+
+def cg_solve_mixed(
+    matvec_hi: Callable,
+    matvec_lo: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    diag: Optional[jnp.ndarray] = None,
+    tol: float = 1e-10,
+    inner_tol: float = 1e-5,
+    maxiter: int = 50000,
+    max_outer: int = 20,
+) -> CGResult:
+    """Mixed-precision CG with iterative refinement.
+
+    TPUs have no native f64: every f64 op is software-emulated (~10x).  The
+    classic fix is iterative refinement — run the CG iterations in f32
+    (``matvec_lo`` on f32 operands) and correct with f64 residuals
+    (``matvec_hi``), which restores f64-level accuracy at f32 iteration
+    cost.  On ill-conditioned conductance networks (high_G/low_G = 1e8,
+    reference src/input_parser.cpp:392-393) plain f32 CG leaves O(1e-2)
+    field errors; refinement drives them to the f64 floor.
+
+    b/x0/diag are f64 (or the working precision); the result is f64.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    lo = jnp.float32
+    diag_lo = None if diag is None else diag.astype(lo)
+
+    bnorm = jnp.sqrt(jnp.dot(b, b))
+    thresh = tol * jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def outer_cond(carry):
+        _, r, it_out, it_in = carry
+        return jnp.logical_and(
+            jnp.sqrt(jnp.dot(r, r)) > thresh,
+            jnp.logical_and(it_out < max_outer, it_in < maxiter),
+        )
+
+    def outer_body(carry):
+        x, r, it_out, it_in = carry
+        inner = cg_solve(
+            matvec_lo,
+            r.astype(lo),
+            x0=None,
+            diag=diag_lo,
+            tol=inner_tol,
+            maxiter=maxiter,
+        )
+        x = x + inner.x.astype(b.dtype)
+        r = b - matvec_hi(x)
+        return (x, r, it_out + 1, it_in + inner.iters)
+
+    r0 = b - matvec_hi(x0)
+    x, r, outer_iters, inner_iters = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+    return CGResult(
+        x=x, iters=inner_iters, residual=jnp.sqrt(jnp.dot(r, r))
+    )

@@ -61,11 +61,15 @@ _O = int(Element.O)
 def build_rate_table(
     geom: Geometry, params: PhysParams, state: SimState
 ) -> jnp.ndarray:
-    """Rates for every (site, neighbour-slot) pair -> [N, max_nn]."""
-    dtype = params.dtype
+    """Rates for every (site, neighbour-slot) pair -> [N, max_nn].
+
+    In mixed-precision mode the table is computed in f32: each rate is an
+    independent exponential (relative error ~1e-7, far below KMC sampling
+    noise), and f64 exp is software-emulated on TPU."""
+    dtype = jnp.float32 if params.mixed else params.dtype
     elem = state.element
     charge = state.charge.astype(dtype)
-    phi = state.potential_boundary + state.potential_charge
+    phi = (state.potential_boundary + state.potential_charge).astype(dtype)
 
     safe = jnp.maximum(geom.neigh_idx, 0)
     e_i = elem[:, None]
@@ -75,15 +79,16 @@ def build_rate_table(
     dphi = phi[:, None] - phi[safe]
 
     # per-pair screened self-interaction for unit charge 1 / charge 2
-    v2 = geom.v2_pair * 2.0        # v_solve(r, 2)
-    v1 = geom.v2_pair              # v_solve(r, 1); multiply by charge as needed
+    v1 = geom.v2_pair.astype(dtype)  # v_solve(r, 1); multiply by charge as needed
+    v2 = v1 * 2.0                    # v_solve(r, 2)
 
     lay_i = geom.site_layer[:, None]
     lay_j = geom.site_layer[safe]
-    E_gen_j = geom.layer_E[lay_j, 0]
-    E_rec_j = geom.layer_E[lay_j, 1]
-    E_diff_i = geom.layer_E[lay_i, 2]
-    E_diff_j = geom.layer_E[lay_j, 3]
+    layer_E = geom.layer_E.astype(dtype)
+    E_gen_j = layer_E[lay_j, 0]
+    E_rec_j = layer_E[lay_j, 1]
+    E_diff_i = layer_E[lay_i, 2]
+    E_diff_j = layer_E[lay_j, 3]
 
     # 0: generation (d, O)
     m_gen = (e_i == _D) & (e_j == _O)
@@ -114,8 +119,8 @@ def build_rate_table(
     )
     any_event = (m_gen | m_rec | m_vdf | m_idf) & geom.neigh_valid
 
-    kT = C.KB_EV * state.T_bg
-    P = params.freq * jnp.exp(-EA / kT)
+    kT = (C.KB_EV * state.T_bg).astype(dtype)
+    P = params.freq.astype(dtype) * jnp.exp(-EA / kT)
     return jnp.where(any_event, P, 0.0).astype(dtype)
 
 
@@ -264,13 +269,14 @@ def execute_superstep(
         state.element,
         state.charge,
         state.key,
-        jnp.asarray(0.0, params.dtype),
+        jnp.asarray(0.0, prob0.dtype),
         jnp.asarray(0, jnp.int32),
     )
     prob, element, charge, key, event_time, count = jax.lax.while_loop(
         cond, body, init
     )
 
+    event_time = event_time.astype(params.dtype)
     new_state = state.replace(
         element=element,
         charge=charge,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.scipy.special import erfc
 
 from .. import constants as C
-from ..ops.cg import cg_solve
+from ..ops.cg import cg_solve, cg_solve_mixed
 from ..ops.ell import ell_matvec
 from ..state import Geometry, PhysParams, SimState
 from ..structure import Element
@@ -74,9 +74,15 @@ def _dirichlet_laplace_solve(
     x0,                 # [N] warm start (full-length; boundary part ignored)
     tol: float,
     maxiter: int,
+    mixed: bool = False,
 ):
     """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
-    geom.right_mask).  Returns the full-length potential vector."""
+    geom.right_mask).  Returns the full-length potential vector.
+
+    ``mixed=True`` runs the CG iterations in f32 with f64
+    iterative-refinement residuals (see ops.cg.cg_solve_mixed) — the TPU
+    fast path; plain f32 CG is NOT accurate enough on the 1e8-contrast
+    conductance network."""
     interior = geom.interior_mask
     is_left = geom.left_mask
     is_right = geom.right_mask
@@ -102,7 +108,25 @@ def _dirichlet_laplace_solve(
 
     x0_int = jnp.where(interior, x0, 0.0)
     pre_diag = jnp.where(interior, diag, 1.0)
-    res = cg_solve(matvec, b, x0=x0_int, diag=pre_diag, tol=tol, maxiter=maxiter)
+
+    if mixed:
+        diag32 = diag.astype(jnp.float32)
+        vals32 = neg_vals.astype(jnp.float32)
+        int32m = interior
+
+        def matvec32(x):
+            xm = jnp.where(int32m, x, jnp.float32(0.0))
+            y = ell_matvec(diag32, vals32, geom.neigh_idx, xm)
+            return jnp.where(int32m, y, jnp.float32(0.0))
+
+        res = cg_solve_mixed(
+            matvec, matvec32, b, x0=x0_int, diag=pre_diag,
+            tol=tol, maxiter=maxiter,
+        )
+    else:
+        res = cg_solve(
+            matvec, b, x0=x0_int, diag=pre_diag, tol=tol, maxiter=maxiter
+        )
 
     phi = jnp.where(
         is_left, v_left, jnp.where(is_right, v_right, res.x)
@@ -123,6 +147,7 @@ def solve_boundary_potential(
         geom, edge_g, vl, vr,
         x0=state.potential_boundary,
         tol=params.solver_tol, maxiter=params.solver_maxiter,
+        mixed=params.mixed,
     )
     return state.replace(potential_boundary=phi), {"cg_iters_boundary": res.iters}
 
@@ -140,6 +165,7 @@ def solve_cb_edge(
     phi, res = _dirichlet_laplace_solve(
         geom, edge_g, vl, vr,
         x0=x0, tol=params.solver_tol, maxiter=params.solver_maxiter,
+        mixed=params.mixed,
     )
     return (
         state.replace(CB_edge=phi * C.EV_TO_J),
@@ -192,9 +218,11 @@ def poisson_gridless(
 ) -> SimState:
     """V_i = sum_{j != i, q_j != 0} v_solve(r_ij, q_j)
     (src/potential_solver.cpp:412-432).  Full O(N^2) row sweep."""
-    charge_f = state.charge.astype(params.dtype)
+    cdtype = jnp.float32 if params.mixed else params.dtype
+    charge_f = state.charge.astype(cdtype)
     v = _poisson_rows(
-        geom.coords, charge_f, geom.lattice, params.sigma, params.k,
+        geom.coords.astype(cdtype), charge_f, geom.lattice.astype(cdtype),
+        params.sigma.astype(cdtype), params.k.astype(cdtype),
         geom.pbc, block,
     )
     return state.replace(potential_charge=v.astype(params.dtype))
@@ -244,9 +272,14 @@ def poisson_gridless_compact(
     block: int = 512,
 ):
     """Charged-site-compacted Poisson.  Returns (state, n_charged); the
-    driver should verify n_charged <= cap (exactness condition)."""
+    driver should verify n_charged <= cap (exactness condition).
+
+    In mixed mode the pair sweep runs in f32 (validated ~1e-7 relative
+    against f64, tools/precision_study.py)."""
+    cdtype = jnp.float32 if params.mixed else params.dtype
     v, n_charged = _poisson_rows_compact(
-        geom.coords, state.charge, geom.lattice, params.sigma, params.k,
+        geom.coords.astype(cdtype), state.charge, geom.lattice.astype(cdtype),
+        params.sigma.astype(cdtype), params.k.astype(cdtype),
         geom.pbc, block, cap,
     )
     return state.replace(potential_charge=v.astype(params.dtype)), n_charged

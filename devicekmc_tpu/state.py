@@ -113,6 +113,7 @@ class PhysParams:
     selection: str = struct.field(pytree_node=False, default="two_level")
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
+    mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
 
@@ -149,7 +150,7 @@ def build_geometry(
     """Build the static geometry pytree.  ``pad_to`` rounds the site axis up
     to a multiple (inert DEFECT pad sites with no neighbours) so arrays can
     be evenly sharded over a device mesh."""
-    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     lattice = np.asarray(cfg.lattice, dtype=np.float64)
     if neigh_idx is None:
         neigh_idx = build_neighbor_list(coords, lattice, cfg.nn_dist, cfg.pbc, max_nn)
@@ -241,7 +242,7 @@ def build_geometry(
 
 
 def build_params(cfg: KMCConfig) -> PhysParams:
-    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     s = lambda x: jnp.asarray(x, dtype=dtype)
     return PhysParams(
         freq=s(cfg.freq),
@@ -279,6 +280,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         selection=cfg.selection,
         max_events_per_superstep=cfg.max_events_per_superstep,
         poisson_compact_cap=cfg.poisson_compact_cap,
+        mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )
 
@@ -310,7 +312,7 @@ def make_substoichiometric(
 def init_state(
     geom: Geometry, cfg: KMCConfig, elements: np.ndarray
 ) -> SimState:
-    dtype = jnp.float64 if cfg.precision == "f64" else jnp.float32
+    dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     n = geom.N
     elements = np.asarray(elements)
     if len(elements) < n:  # site axis padded for sharding

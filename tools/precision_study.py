@@ -68,7 +68,7 @@ def main():
     from devicekmc_tpu.superstep import superstep_impl
 
     runs = {}
-    for prec in ("f64", "f32"):
+    for prec in ("f64", "f32", "mixed"):
         geom, params, heat, state = build(prec)
         cb = jax.jit(solve_cb_edge)
         step = jax.jit(superstep_impl)
@@ -87,15 +87,17 @@ def main():
             })
         runs[prec] = traj
 
-    div_step = args.steps
-    for k in range(args.steps):
-        if not np.array_equal(runs["f64"][k]["elements"], runs["f32"][k]["elements"]):
+    for other in ("f32", "mixed"):
+      print(f"=== {other} vs f64 ===")
+      div_step = args.steps
+      for k in range(args.steps):
+        if not np.array_equal(runs["f64"][k]["elements"], runs[other][k]["elements"]):
             div_step = k
             break
-    print(f"event sequences identical through step {div_step}/{args.steps}")
+      print(f"event sequences identical through step {div_step}/{args.steps}")
 
-    for k in range(min(div_step + 1, args.steps)):
-        a, b = runs["f64"][k], runs["f32"][k]
+      for k in range(min(div_step + 1, args.steps)):
+        a, b = runs["f64"][k], runs[other][k]
         scale_b = max(np.abs(a["phi_b"]).max(), 1e-30)
         scale_c = max(np.abs(a["phi_c"]).max(), 1e-30)
         err_b = np.abs(a["phi_b"] - b["phi_b"]).max() / scale_b
