@@ -93,9 +93,10 @@ def cg_solve_mixed(
     x0: Optional[jnp.ndarray] = None,
     diag: Optional[jnp.ndarray] = None,
     tol: float = 1e-10,
-    inner_tol: float = 1e-5,
+    inner_tol: float = 1e-4,
     maxiter: int = 50000,
-    max_outer: int = 20,
+    max_outer: int = 40,
+    inner_maxiter: int = 300,
 ) -> CGResult:
     """Mixed-precision CG with iterative refinement.
 
@@ -126,15 +127,20 @@ def cg_solve_mixed(
 
     def outer_body(carry):
         x, r, it_out, it_in = carry
+        # scale the residual to O(1): f32 CG underflows on tiny residuals
+        rnorm = jnp.sqrt(jnp.dot(r, r))
+        scale = jnp.where(rnorm > 0, rnorm, 1.0)
         inner = cg_solve(
             matvec_lo,
-            r.astype(lo),
+            (r / scale).astype(lo),
             x0=None,
             diag=diag_lo,
             tol=inner_tol,
-            maxiter=maxiter,
+            maxiter=inner_maxiter,   # bounded: f32 CG stagnates at its
+                                     # precision floor; refinement outer
+                                     # iterations do the rest
         )
-        x = x + inner.x.astype(b.dtype)
+        x = x + inner.x.astype(b.dtype) * scale
         r = b - matvec_hi(x)
         return (x, r, it_out + 1, it_in + inner.iters)
 
