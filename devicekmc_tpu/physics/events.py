@@ -120,7 +120,14 @@ def build_rate_table(
     any_event = (m_gen | m_rec | m_vdf | m_idf) & geom.neigh_valid
 
     kT = (C.KB_EV * state.T_bg).astype(dtype)
-    P = params.freq.astype(dtype) * jnp.exp(-EA / kT)
+    # Clamp the Arrhenius exponent: strongly-downhill events (negative
+    # barriers, e.g. charged-pair recombination with E_rec_1 = 0) reach
+    # exp(+70)+ and would overflow f32 (and eventually f64) — they fire
+    # "instantly" either way, so capping cannot change the trajectory
+    # statistics, only keep Psum finite.  (The f64 reference relies on
+    # exp(700) headroom for the same situation.)
+    cap = 80.0 if dtype == jnp.float32 else 600.0
+    P = params.freq.astype(dtype) * jnp.exp(jnp.minimum(-EA / kT, cap))
     return jnp.where(any_event, P, 0.0).astype(dtype)
 
 
@@ -203,17 +210,22 @@ def _select_flat(prob, u):
 
 
 def _select_two_level(prob, u):
-    """Hierarchical selection: row sums -> row -> slot."""
+    """Hierarchical selection: row sums -> row -> slot.
+
+    The short (length-N) accumulations run in f64 even when the rate table
+    is f32: with clamped rates at up to ~1e38 a f32 running sum can
+    overflow/denormalise across millions of entries."""
     n, m = prob.shape
-    row_sums = jnp.sum(prob, axis=1)
+    acc = jnp.float64 if prob.dtype == jnp.float32 else prob.dtype
+    row_sums = jnp.sum(prob, axis=1, dtype=acc)
     row_cum = jnp.cumsum(row_sums)
     psum = row_cum[-1]
-    target = u * psum
+    target = u.astype(acc) * psum
     row = jnp.searchsorted(row_cum, target, side="right").astype(jnp.int32)
     row = jnp.minimum(row, n - 1)
     base = jnp.where(row > 0, row_cum[row - 1], 0.0)
     inner = target - base
-    slot_cum = jnp.cumsum(prob[row])
+    slot_cum = jnp.cumsum(prob[row].astype(acc))
     slot = jnp.searchsorted(slot_cum, inner, side="right").astype(jnp.int32)
     slot = jnp.minimum(slot, m - 1)
     return psum, row * m + slot
@@ -259,7 +271,9 @@ def execute_superstep(
 
         u_t = jax.random.uniform(k_time, dtype=prob.dtype)
         event_time = jnp.where(
-            valid, -jnp.log(u_t) / psum, jnp.asarray(jnp.inf, prob.dtype)
+            valid,
+            -jnp.log(u_t).astype(params.dtype) / psum.astype(params.dtype),
+            jnp.asarray(jnp.inf, params.dtype),
         )
         count = count + jnp.where(valid, 1, 0).astype(jnp.int32)
         return (prob, element, charge, key, event_time, count)
@@ -269,7 +283,7 @@ def execute_superstep(
         state.element,
         state.charge,
         state.key,
-        jnp.asarray(0.0, prob0.dtype),
+        jnp.asarray(0.0, params.dtype),
         jnp.asarray(0, jnp.int32),
     )
     prob, element, charge, key, event_time, count = jax.lax.while_loop(
