@@ -46,6 +46,7 @@ def _site_sharded_geometry_specs() -> Geometry:
         pair_dist=P("sites"),
         v2_pair=P("sites"),
         site_layer=P("sites"),
+        rev_slot=P("sites"),
         atom_ind=P(),            # atom gather indices: replicated
         metal_mask_table=P(),
         layer_E=P(),

@@ -234,9 +234,20 @@ def _select_two_level(prob, u):
 def execute_superstep(
     geom: Geometry, params: PhysParams, state: SimState
 ) -> SuperstepResult:
+    """One KMC superstep (dispatch on params.event_mode)."""
+    if params.event_mode == "incremental":
+        return execute_superstep_incremental(geom, params, state)
+    return execute_superstep_scan(geom, params, state)
+
+
+def execute_superstep_scan(
+    geom: Geometry, params: PhysParams, state: SimState
+) -> SuperstepResult:
     """One KMC superstep: build rates once, then select/execute/zero in an
     on-device residence-time loop until the drawn event time exceeds
-    1/freq."""
+    1/freq.  Literal formulation: every iteration rescans the full
+    [N, max_nn] table (the reference's approach, Thrust scan + memsets,
+    src/kmc_events.cu:210-349)."""
     prob0 = build_rate_table(geom, params, state)
     n, m = prob0.shape
     t_window = 1.0 / params.freq
@@ -287,6 +298,163 @@ def execute_superstep(
         jnp.asarray(0, jnp.int32),
     )
     prob, element, charge, key, event_time, count = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    event_time = event_time.astype(params.dtype)
+    new_state = state.replace(
+        element=element,
+        charge=charge,
+        key=key,
+        kmc_time=state.kmc_time + event_time,
+    )
+    return SuperstepResult(state=new_state, step_time=event_time, n_events=count)
+
+
+# ----------------------------------------------------------------------------
+# incremental residence-time loop
+# ----------------------------------------------------------------------------
+
+_BLOCK = 128  # rows per block in the hierarchical rate sum
+
+
+def execute_superstep_incremental(
+    geom: Geometry, params: PhysParams, state: SimState
+) -> SuperstepResult:
+    """Semantically identical to :func:`execute_superstep_scan`, but each
+    event costs O(max_nn + N/BLOCK) instead of O(N * max_nn):
+
+      * a three-level sum hierarchy (block sums -> row sums -> slots) is
+        maintained *incrementally* — executing an event only invalidates the
+        rows of i and j plus one reverse-edge slot per neighbour
+        (geom.rev_slot), so the sums are updated by gather/scatter of
+        O(max_nn) values;
+      * selection walks the hierarchy: cumsum over N/BLOCK block sums, then
+        over BLOCK rows, then over max_nn slots.
+
+    The selection distribution is identical to the flat cumsum in exact
+    arithmetic.  Sums are kept in f64 (tiny arrays) so incremental drift is
+    negligible over a superstep; they are rebuilt from scratch every
+    superstep anyway.
+    """
+    prob0 = build_rate_table(geom, params, state)
+    n, m = prob0.shape
+    nb_pad = (-n) % _BLOCK
+    n_blocks = (n + nb_pad) // _BLOCK
+    acc = jnp.float64 if prob0.dtype == jnp.float32 else prob0.dtype
+
+    row_sums0 = jnp.sum(prob0, axis=1, dtype=acc)
+    row_sums0 = jnp.pad(row_sums0, (0, nb_pad))
+    block_sums0 = row_sums0.reshape(n_blocks, _BLOCK).sum(axis=1)
+
+    t_window = 1.0 / params.freq
+
+    def cond(carry):
+        _, _, _, _, _, _, event_time, count = carry
+        return (event_time < t_window) & (count < params.max_events_per_superstep)
+
+    def body(carry):
+        prob, row_sums, block_sums, element, charge, key, _, count = carry
+        key, k_sel, k_time = jax.random.split(key, 3)
+        u = jax.random.uniform(k_sel, dtype=acc)
+
+        # --- hierarchical selection ---
+        block_cum = jnp.cumsum(block_sums)
+        psum = block_cum[-1]
+        target = u * psum
+        blk = jnp.minimum(
+            jnp.searchsorted(block_cum, target, side="right").astype(jnp.int32),
+            n_blocks - 1,
+        )
+        base_b = jnp.where(blk > 0, block_cum[blk - 1], 0.0)
+        rows_here = jax.lax.dynamic_slice(row_sums, (blk * _BLOCK,), (_BLOCK,))
+        row_cum = jnp.cumsum(rows_here)
+        r_in = jnp.minimum(
+            jnp.searchsorted(row_cum, target - base_b, side="right").astype(jnp.int32),
+            _BLOCK - 1,
+        )
+        i = blk * _BLOCK + r_in
+        i = jnp.minimum(i, n - 1)
+        base_r = jnp.where(r_in > 0, row_cum[r_in - 1], 0.0)
+        slot_cum = jnp.cumsum(prob[i].astype(acc))
+        s = jnp.minimum(
+            jnp.searchsorted(slot_cum, target - base_b - base_r, side="right"
+                             ).astype(jnp.int32),
+            m - 1,
+        )
+        j = geom.neigh_idx[i, s]
+
+        valid = psum > 0
+        ev = _event_type_from_elements(element[i], element[j])
+        ev = jnp.where(valid, ev, NULL_EVENT)
+        element, charge = _execute_event(element, charge, i, j, ev)
+
+        # --- incremental conflict zeroing ---
+        # entries to kill: full rows i and j, plus the reverse-edge slot of
+        # i (and j) in every neighbouring row (reference semantics:
+        # src/KMCProcess.cpp:327-352).  Invalid/fill slots are redirected
+        # into row i, which is fully zeroed afterwards, so scatter
+        # collisions cannot resurrect values.
+        def rev_targets(site):
+            nbrs = geom.neigh_idx[site]          # [m] rows containing `site`
+            slots = geom.rev_slot[site]          # [m] slot of `site` there
+            rvalid = (nbrs >= 0) & (slots >= 0)
+            rows = jnp.where(rvalid, nbrs, i).astype(jnp.int32)
+            cols = jnp.where(rvalid, slots, 0).astype(jnp.int32)
+            return rows, cols
+
+        ri, ci = rev_targets(i)
+        rj, cj = rev_targets(j)
+
+        # zero the probability entries (order matters: rows i/j wipe last,
+        # covering any fill-slot writes redirected there)
+        prob = prob.at[ri, ci].set(jnp.where(valid, 0.0, prob[ri, ci]))
+        prob = prob.at[rj, cj].set(jnp.where(valid, 0.0, prob[rj, cj]))
+        prob = prob.at[i, :].set(jnp.where(valid, 0.0, prob[i, :]))
+        prob = prob.at[j, :].set(jnp.where(valid, 0.0, prob[j, :]))
+
+        # Recompute the touched rows' sums EXACTLY from the zeroed table
+        # (<= 2m+2 rows of m entries — trivial).  Delta-subtraction would be
+        # cheaper but suffers catastrophic cancellation: removing an exp(+70)
+        # "instant" rate leaves ulp-scale noise that dwarfs the surviving
+        # small rates and corrupts the residence-time clock.
+        rows_touched = jnp.concatenate(
+            [ri, rj, jnp.stack([i, j]).astype(jnp.int32)]
+        )
+        new_rvals = jnp.sum(prob[rows_touched].astype(acc), axis=1)
+        row_sums = jnp.where(
+            valid, row_sums.at[rows_touched].set(new_rvals), row_sums
+        )
+
+        # and the touched blocks' sums exactly from row_sums
+        ub = jnp.unique(
+            rows_touched // _BLOCK, size=2 * m + 2, fill_value=0
+        )
+        new_bvals = row_sums.reshape(n_blocks, _BLOCK)[ub].sum(axis=1)
+        block_sums = jnp.where(
+            valid, block_sums.at[ub].set(new_bvals), block_sums
+        )
+
+        u_t = jax.random.uniform(k_time, dtype=prob.dtype)
+        event_time = jnp.where(
+            valid,
+            -jnp.log(u_t).astype(params.dtype) / psum.astype(params.dtype),
+            jnp.asarray(jnp.inf, params.dtype),
+        )
+        count = count + jnp.where(valid, 1, 0).astype(jnp.int32)
+        return (prob, row_sums, block_sums, element, charge, key, event_time, count)
+
+    init = (
+        prob0,
+        row_sums0,
+        block_sums0,
+        state.element,
+        state.charge,
+        state.key,
+        jnp.asarray(0.0, params.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (prob, _, _, element, charge, key, event_time, count) = jax.lax.while_loop(
         cond, body, init
     )
 

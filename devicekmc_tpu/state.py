@@ -55,6 +55,10 @@ class Geometry:
     layer_E: Any         # [n_layers, 4] float: E_gen_0, E_rec_1, E_diff_2, E_diff_3
     lattice: Any         # [3] float
 
+    rev_slot: Any        # [N,max_nn] int32: slot of i within row neigh_idx[i,s]
+                         # (reverse edge; -1 at pads) — used by the
+                         # incremental event loop's O(max_nn) conflict zeroing
+
     # contact / interior site masks.  Contacts are the first/last
     # num_atoms_first_layer *real* sites (the solvers' positional convention,
     # e.g. src/potential_solver.cpp:294-296); masks rather than index ranges
@@ -111,6 +115,7 @@ class PhysParams:
     solver_tol: float = struct.field(pytree_node=False, default=1e-12)
     solver_maxiter: int = struct.field(pytree_node=False, default=50000)
     selection: str = struct.field(pytree_node=False, default="two_level")
+    event_mode: str = struct.field(pytree_node=False, default="incremental")
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
     mixed: bool = struct.field(pytree_node=False, default=False)
@@ -208,6 +213,19 @@ def build_geometry(
     atom_mask = ~np.isin(elements, [int(e) for e in NON_ATOM_ELEMENTS])
     atom_ind = np.nonzero(atom_mask)[0].astype(np.int32)
 
+    # reverse-edge slots: rev_slot[i,s] = t such that neigh_idx[j,t] == i for
+    # j = neigh_idx[i,s].  Exists because the neighbour relation is symmetric;
+    # rows are ascending so t = #(entries of row j < i).
+    rev_slot = np.full((n, m), -1, dtype=np.int32)
+    chunk = max(1, (1 << 22) // max(m * m, 1))
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        nb_c = neigh_idx[c0:c1]                       # [C, m]
+        jrows = neigh_idx[np.where(nb_c >= 0, nb_c, 0)]   # [C, m, m]
+        i_col = np.arange(c0, c1)[:, None, None]
+        rev = np.sum((jrows >= 0) & (jrows < i_col), axis=-1, dtype=np.int32)
+        rev_slot[c0:c1] = np.where(nb_c >= 0, rev, -1)
+
     idx = np.arange(n)
     n_left = n_right = cfg.num_atoms_first_layer
     nac = cfg.num_atoms_contact
@@ -224,6 +242,7 @@ def build_geometry(
         pair_dist=jnp.asarray(dist, dtype=dtype),
         v2_pair=jnp.asarray(v2, dtype=dtype),
         site_layer=jnp.asarray(site_layer, dtype=jnp.int32),
+        rev_slot=jnp.asarray(rev_slot),
         atom_ind=jnp.asarray(atom_ind),
         metal_mask_table=jnp.asarray(metal_table),
         layer_E=jnp.asarray(layer_E, dtype=dtype),
@@ -278,6 +297,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         solver_tol=cfg.solver_tol,
         solver_maxiter=cfg.solver_maxiter,
         selection=cfg.selection,
+        event_mode=cfg.event_mode,
         max_events_per_superstep=cfg.max_events_per_superstep,
         poisson_compact_cap=cfg.poisson_compact_cap,
         mixed=(cfg.precision == "mixed"),

@@ -119,3 +119,26 @@ def test_null_superstep_when_no_events():
     res = events_mod.execute_superstep(geom, params, state)
     assert int(res.n_events) == 0
     assert np.isinf(float(res.step_time))
+
+
+def test_incremental_matches_scan(small_sim):
+    """The incremental O(max_nn) event loop must reproduce the full-scan
+    loop's trajectory (same RNG stream; selection identical in exact
+    arithmetic, FP differences only at measure-zero boundaries)."""
+    s, cfg, geom, params, state, elems = _prepared(small_sim)
+    p_scan = params.replace(event_mode="scan")
+    p_inc = params.replace(event_mode="incremental")
+    for step in range(4):
+        r_scan = events_mod.execute_superstep(geom, p_scan, state)
+        r_inc = events_mod.execute_superstep(geom, p_inc, state)
+        assert int(r_scan.n_events) == int(r_inc.n_events), step
+        np.testing.assert_array_equal(
+            np.asarray(r_scan.state.element), np.asarray(r_inc.state.element)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_scan.state.charge), np.asarray(r_inc.state.charge)
+        )
+        assert float(r_scan.step_time) == pytest.approx(
+            float(r_inc.step_time), rel=1e-12
+        )
+        state = r_scan.state
