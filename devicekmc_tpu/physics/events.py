@@ -126,8 +126,12 @@ def build_rate_table(
     # "instantly" either way, so capping cannot change the trajectory
     # statistics, only keep Psum finite.  (The f64 reference relies on
     # exp(700) headroom for the same situation.)
-    cap = 80.0 if dtype == jnp.float32 else 600.0
-    P = params.freq.astype(dtype) * jnp.exp(jnp.minimum(-EA / kT, cap))
+    exp_cap = 80.0 if dtype == jnp.float32 else 600.0
+    # rate cap chosen so that summing every pair cannot overflow the dtype:
+    # N*max_nn ~ 1e7 pairs * P_cap must stay finite
+    p_cap = 1e30 if dtype == jnp.float32 else 1e290
+    P = params.freq.astype(dtype) * jnp.exp(jnp.minimum(-EA / kT, exp_cap))
+    P = jnp.minimum(P, p_cap)
     return jnp.where(any_event, P, 0.0).astype(dtype)
 
 
@@ -268,8 +272,10 @@ def execute_superstep_scan(
         j = geom.neigh_idx.reshape(-1)[idx]
         ev = _event_type_from_elements(element[i], element[j])
 
-        # degenerate guard: if psum == 0 nothing can fire; skip mutation
-        valid = psum > 0
+        # degenerate guards: nothing can fire when psum == 0; a selected
+        # zero-rate slot signals numerical inconsistency (e.g. overflow) —
+        # terminate the superstep rather than spinning on no-ops
+        valid = (psum > 0) & (prob.reshape(-1)[idx] > 0)
         ev = jnp.where(valid, ev, NULL_EVENT)
         element, charge = _execute_event(element, charge, i, j, ev)
 
@@ -384,7 +390,7 @@ def execute_superstep_incremental(
         )
         j = geom.neigh_idx[i, s]
 
-        valid = psum > 0
+        valid = (psum > 0) & (prob[i, s] > 0)
         ev = _event_type_from_elements(element[i], element[j])
         ev = jnp.where(valid, ev, NULL_EVENT)
         element, charge = _execute_event(element, charge, i, j, ev)

@@ -142,3 +142,24 @@ def test_incremental_matches_scan(small_sim):
             float(r_inc.step_time), rel=1e-12
         )
         state = r_scan.state
+
+
+def test_rates_finite_under_extreme_fields(small_sim):
+    """Mixed/f32 rate tables must stay finite (and summable) even with
+    barrierless events under large potential differences — regression for
+    the f32 overflow that derailed selection."""
+    s, cfg, geom, params, state, elems = _prepared(small_sim, Vd=20.0)
+    pm = params.replace(mixed=True)
+    # exaggerate: charge everything chargeable
+    state = state.replace(
+        charge=jnp.where(state.element == int(Element.VACANCY), 2,
+                         jnp.where(state.element == int(Element.OXYGEN_DEFECT),
+                                   -2, 0)).astype(jnp.int32)
+    )
+    P = events_mod.build_rate_table(geom, pm, state)
+    assert P.dtype == jnp.float32
+    assert bool(jnp.isfinite(P).all())
+    assert bool(jnp.isfinite(jnp.sum(P.astype(jnp.float64))))
+    # the superstep must terminate
+    res = events_mod.execute_superstep(geom, pm, state)
+    assert int(res.n_events) < pm.max_events_per_superstep
