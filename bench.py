@@ -57,7 +57,7 @@ def build_crossbar_sim(precision: str):
         # adds at most a few — 2048 slots is exact for any bench length
         # (verified per step via the n_charged_sites metric)
         poisson_compact_cap=2048,
-        solver_tol=1e-10,
+        solver_tol=1e-8,
     )
     elements, coords = read_xyz(CROSSBAR_XYZ)
 
@@ -105,7 +105,7 @@ def build_synthetic_sim(n_sites: int, precision: str):
         layers=s.layers,
         solve_potential=True, solve_current=False,
         perturb_structure=True, precision=precision,
-        poisson_compact_cap=8192, solver_tol=1e-10,
+        poisson_compact_cap=8192, solver_tol=1e-8,
     )
     elems = make_substoichiometric(s.elements, 0.05, seed=5)
     geom = build_geometry(elems, s.coords, cfg)

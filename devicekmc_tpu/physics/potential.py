@@ -74,15 +74,17 @@ def _dirichlet_laplace_solve(
     x0,                 # [N] warm start (full-length; boundary part ignored)
     tol: float,
     maxiter: int,
-    mixed: bool = False,
+    mixed: str = "",
 ):
     """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
     geom.right_mask).  Returns the full-length potential vector.
 
-    ``mixed=True`` runs the CG iterations in f32 with f64
-    iterative-refinement residuals (see ops.cg.cg_solve_mixed) — the TPU
-    fast path; plain f32 CG is NOT accurate enough on the 1e8-contrast
-    conductance network."""
+    ``mixed="ir"`` runs the CG iterations in f32 with f64
+    iterative-refinement residuals (see ops.cg.cg_solve_mixed).  NOTE:
+    measured on the 110k-site crossbar, kappa(D^-1/2 A D^-1/2) * eps_f32 > 1
+    and the refinement stalls (11k+ inner iterations vs 471 plain f64) — so
+    mixed precision keeps these solves in f64 and spends its f32 budget on
+    the rate/Poisson kernels instead."""
     interior = geom.interior_mask
     is_left = geom.left_mask
     is_right = geom.right_mask
@@ -109,7 +111,7 @@ def _dirichlet_laplace_solve(
     x0_int = jnp.where(interior, x0, 0.0)
     pre_diag = jnp.where(interior, diag, 1.0)
 
-    if mixed:
+    if mixed == "ir":
         diag32 = diag.astype(jnp.float32)
         vals32 = neg_vals.astype(jnp.float32)
         int32m = interior
@@ -147,7 +149,6 @@ def solve_boundary_potential(
         geom, edge_g, vl, vr,
         x0=state.potential_boundary,
         tol=params.solver_tol, maxiter=params.solver_maxiter,
-        mixed=params.mixed,
     )
     return state.replace(potential_boundary=phi), {"cg_iters_boundary": res.iters}
 
@@ -165,7 +166,6 @@ def solve_cb_edge(
     phi, res = _dirichlet_laplace_solve(
         geom, edge_g, vl, vr,
         x0=x0, tol=params.solver_tol, maxiter=params.solver_maxiter,
-        mixed=params.mixed,
     )
     return (
         state.replace(CB_edge=phi * C.EV_TO_J),
