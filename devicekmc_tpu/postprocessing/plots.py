@@ -166,6 +166,31 @@ def extract_data(path: str, out: str = "extracted.npz"):
     return arrays
 
 
+def spy_csr(step_or_path: str, out: str = "", prefix: str = "."):
+    """Sparsity spy plot of a dumped CSR matrix (reference: spy_CSR.py /
+    spy_matrix_COO.py / plot_sparsity_txt.py).  Accepts either a step number
+    (reads csr*_step#K.txt from ``prefix``) or a save_CSR_format file."""
+    import matplotlib.pyplot as plt
+
+    from ..io.matrix_debug import load_csr_txt
+
+    if step_or_path.isdigit():
+        row_ptr, cols, vals = load_csr_txt(int(step_or_path), prefix)
+    else:
+        with open(step_or_path) as f:
+            vals = np.array(f.readline().split(), dtype=float)
+            cols = np.array(f.readline().split(), dtype=int)
+            row_ptr = np.array(f.readline().split(), dtype=int)
+    n = len(row_ptr) - 1
+    rows = np.repeat(np.arange(n), np.diff(row_ptr))
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.scatter(cols, rows, s=0.2, marker="s", c="k")
+    ax.invert_yaxis()
+    ax.set_aspect("equal")
+    ax.set_title(f"nnz = {len(vals)}")
+    _save_or_show(fig, out)
+
+
 _COMMANDS = {
     "iv": plot_iv,
     "current": plot_current,
@@ -176,6 +201,7 @@ _COMMANDS = {
     "timing": plot_timing,
     "device": show_device,
     "extract": extract_data,
+    "spy": spy_csr,
 }
 
 

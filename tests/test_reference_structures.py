@@ -38,3 +38,34 @@ def test_reference_test1_potential(tmp_path):
     assert (elems == 2).sum() > 0  # VACANCY
     # events happened and the clock advanced
     assert summary["kmc_time"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TEST1), reason="no reference")
+def test_cli_driver(tmp_path):
+    """python -m devicekmc_tpu parameters.txt — the runKMC equivalent."""
+    import subprocess
+    import sys
+
+    # write a params file pointing at the reference snapshot, with output here
+    params = open(os.path.join(REF_TEST1, "parameters.txt")).read()
+    params += (
+        f"\nrestart_xyz_file = {os.path.join(REF_TEST1, 'snapshot_init.xyz')}\n"
+        f"output_dir = {tmp_path}\n"
+        "perturb_structure = 1\n"
+        "solver_tol = 1e-8\n"
+    )
+    pfile = tmp_path / "parameters.txt"
+    pfile.write_text(params)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "devicekmc_tpu", str(pfile),
+         "--max-steps", "2", "--cpu",
+         "--checkpoint", str(tmp_path / "end.npz")],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Loaded 9030 sites" in r.stdout
+    assert os.path.exists(tmp_path / "output.txt")
+    assert os.path.exists(tmp_path / "end.npz")
