@@ -254,7 +254,7 @@ class Simulation:
                     "element", "charge", "potential_boundary",
                     "potential_charge", "CB_edge", "power", "temperature",
                     "T_bg", "key", "kmc_time", "I_macro", "P_tot",
-                    "virtual_potentials", "step_count",
+                    "virtual_potentials", "step_count", "cvac_prev", "Vd_prev",
                 )
             },
         )

@@ -64,7 +64,7 @@ def _replicated_state_specs() -> dict:
         element=P(), charge=P(), potential_boundary=P(),
         potential_charge=P(), CB_edge=P(), power=P(), temperature=P(),
         T_bg=P(), key=P(), kmc_time=P(), I_macro=P(), P_tot=P(),
-        virtual_potentials=P(), step_count=P(),
+        virtual_potentials=P(), step_count=P(), cvac_prev=P(), Vd_prev=P(),
     )
 
 

@@ -141,16 +141,36 @@ def solve_boundary_potential(
 ) -> Tuple[SimState, dict]:
     """Update ``site_potential_boundary``: contacts at -Vd/2 (left) and +Vd/2
     (right), matching both CPU (src/potential_solver.cpp:311-319) and GPU
-    sparse (src/potential_solver_gpu.cu:734-771) paths."""
-    edge_g = _edge_conductance_boundary(geom, state, params)
-    vl = jnp.asarray(-Vd / 2.0, dtype=params.dtype)
-    vr = jnp.asarray(Vd / 2.0, dtype=params.dtype)
-    phi, res = _dirichlet_laplace_solve(
-        geom, edge_g, vl, vr,
-        x0=state.potential_boundary,
-        tol=params.solver_tol, maxiter=params.solver_maxiter,
+    sparse (src/potential_solver_gpu.cu:734-771) paths.
+
+    Exact fast path: the conductance network is a function of the static
+    metal mask and the neutral-vacancy set only — if that set and Vd are
+    unchanged since the previous solve, the previous potential *is* the
+    solution and assembly + CG are skipped entirely."""
+    Vd = jnp.asarray(Vd, dtype=params.dtype)
+    elem = state.element
+    cvac = (elem == int(Element.VACANCY)) & (state.charge == 0)
+    unchanged = jnp.all(cvac == state.cvac_prev) & (Vd == state.Vd_prev)
+
+    def skip(state):
+        return state.potential_boundary, jnp.asarray(0, jnp.int32)
+
+    def solve(state):
+        edge_g = _edge_conductance_boundary(geom, state, params)
+        vl = (-Vd / 2.0).astype(params.dtype)
+        vr = (Vd / 2.0).astype(params.dtype)
+        phi, res = _dirichlet_laplace_solve(
+            geom, edge_g, vl, vr,
+            x0=state.potential_boundary,
+            tol=params.solver_tol, maxiter=params.solver_maxiter,
+        )
+        return phi, res.iters
+
+    phi, iters = jax.lax.cond(unchanged, skip, solve, state)
+    new_state = state.replace(
+        potential_boundary=phi, cvac_prev=cvac, Vd_prev=Vd
     )
-    return state.replace(potential_boundary=phi), {"cg_iters_boundary": res.iters}
+    return new_state, {"cg_iters_boundary": iters}
 
 
 def solve_cb_edge(

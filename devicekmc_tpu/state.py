@@ -139,6 +139,13 @@ class SimState:
     virtual_potentials: Any  # [N_atom+2] float — current-solver warm start
     step_count: Any          # scalar int32
 
+    # change-tracking for the boundary-potential solve: the conductance
+    # network depends only on the (static) metal mask, the neutral-vacancy
+    # set and Vd — when neither changed, the previous solution is exact and
+    # the whole solve (including matrix assembly) is skipped.
+    cvac_prev: Any           # [N] bool: neutral-vacancy mask at last solve
+    Vd_prev: Any             # scalar: bias at last boundary solve
+
 
 # ----------------------------------------------------------------------------
 # construction
@@ -356,6 +363,8 @@ def init_state(
         P_tot=jnp.asarray(0.0, dtype=dtype),
         virtual_potentials=jnp.zeros(geom.N_atom + 2, dtype=dtype),
         step_count=jnp.asarray(0, dtype=jnp.int32),
+        cvac_prev=jnp.ones(n, dtype=bool),     # impossible -> force 1st solve
+        Vd_prev=jnp.asarray(jnp.nan, dtype=dtype),
     )
 
 
