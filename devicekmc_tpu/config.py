@@ -139,6 +139,7 @@ class KMCConfig:
     solver_maxiter: int = 50000            # CG iteration cap (reference warns at 50k)
     selection: str = "two_level"           # "two_level" | "flat" event selection
     event_mode: str = "incremental"        # "incremental" | "scan" residence-time loop
+    heat_solver: str = "dense"             # "dense" (reference-style inverses) | "cg" (matrix-free, scales)
     max_events_per_superstep: int = 10000  # safety bound for the on-device loop
     poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
 

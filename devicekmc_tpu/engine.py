@@ -175,6 +175,7 @@ class Simulation:
             self.heat = heat_mod.build_heat_model(
                 self.geom, self.params, cfg, elems_np,
                 np.asarray(self.geom.neigh_idx),
+                method=getattr(cfg, "heat_solver", "dense"),
             )
         else:
             self.heat = heat_mod.empty_heat_model(self.params)

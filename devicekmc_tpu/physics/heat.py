@@ -36,14 +36,27 @@ from ..structure import Element
 
 @struct.dataclass
 class HeatModel:
-    """Precomputed local-heat operators (empty if local heating is off)."""
+    """Precomputed local-heat operators (empty if local heating is off).
 
-    L_inv: Any           # [Ni, Ni] transient propagator (I - dt*tau*L)^-1
-    L_ss_inv: Any        # [Ni, Ni] steady-state L^-1
+    Two application methods:
+      * ``dense``  — the reference's approach: dense inverses, MXU matvec
+        per substep (O(Ni^2) memory — fine to ~10k interface sites);
+      * ``cg``     — matrix-free: the Laplacian is applied on the ELL graph
+        and each substep solves (I - dt*tau*L) T' = rhs with CG (the
+        operator is a small perturbation of the identity, so a handful of
+        iterations) — scales to arbitrary N.
+    """
+
+    L_inv: Any           # [Ni, Ni] transient propagator (I - dt*tau*L)^-1 (dense)
+    L_ss_inv: Any        # [Ni, Ni] steady-state L^-1 (dense)
     interface_idx: Any   # [Ni] site indices of interface sites
+    interface_mask: Any  # [N] bool (cg)
+    diag_base: Any       # [N] float: -gamma where metal-adjacent, 0 else (cg)
+    step_scale: Any      # scalar: dt * tau (cg)
     n_interface: int = struct.field(pytree_node=False, default=0)
     n_left: int = struct.field(pytree_node=False, default=0)
     n_right: int = struct.field(pytree_node=False, default=0)
+    method: str = struct.field(pytree_node=False, default="dense")
 
 
 def _num_in_contact_left(elements: np.ndarray, m: int) -> int:
@@ -76,9 +89,11 @@ def build_heat_model(
     cfg,
     elements: np.ndarray,
     neigh_idx: np.ndarray,
+    method: str = "dense",
 ) -> HeatModel:
     """Host-side precompute of the interface Laplacian inverses
-    (reference: constructLaplacian, src/heat_solver.cpp:40-246)."""
+    (reference: constructLaplacian, src/heat_solver.cpp:40-246); with
+    ``method="cg"`` only the graph metadata is prepared (no dense work)."""
     n = len(elements)
     n_metals = int(
         np.asarray(geom.metal_mask_table)[elements].sum()
@@ -93,8 +108,30 @@ def build_heat_model(
 
     gamma = 1.0 / (cfg.delta * ((cfg.k_th_interface / cfg.k_th_metal) + 1.0))
     step_time = cfg.delta_t * cfg.tau
-
     metal_table = np.asarray(geom.metal_mask_table)
+    dtype = params.dtype
+
+    if method == "cg":
+        interface_mask = np.zeros(n, dtype=bool)
+        interface_mask[interface_idx] = True
+        metal_adj = np.zeros(n, dtype=bool)
+        for i in interface_idx:
+            for j in neigh_idx[i]:
+                if j >= 0 and metal_table[elements[j]]:
+                    metal_adj[i] = True
+                    break
+        diag_base = np.where(metal_adj, -gamma, 0.0)
+        z = jnp.zeros((0, 0), dtype=dtype)
+        return HeatModel(
+            L_inv=z, L_ss_inv=z,
+            interface_idx=jnp.asarray(interface_idx, dtype=jnp.int32),
+            interface_mask=jnp.asarray(interface_mask),
+            diag_base=jnp.asarray(diag_base, dtype=dtype),
+            step_scale=jnp.asarray(step_time, dtype=dtype),
+            n_interface=int(ni), n_left=int(n_left), n_right=int(n_right),
+            method="cg",
+        )
+
     L = np.zeros((ni, ni), dtype=np.float64)
     for i in interface_idx:
         ii = index_map[i]
@@ -114,22 +151,30 @@ def build_heat_model(
     L_inv = np.linalg.inv(np.eye(ni) - step_time * L)
     L_ss_inv = np.linalg.inv(L)
 
-    dtype = params.dtype
+    nz = len(elements)
     return HeatModel(
         L_inv=jnp.asarray(L_inv, dtype=dtype),
         L_ss_inv=jnp.asarray(L_ss_inv, dtype=dtype),
         interface_idx=jnp.asarray(interface_idx, dtype=jnp.int32),
+        interface_mask=jnp.zeros(nz, dtype=bool),
+        diag_base=jnp.zeros(nz, dtype=dtype),
+        step_scale=jnp.asarray(step_time, dtype=dtype),
         n_interface=int(ni),
         n_left=int(n_left),
         n_right=int(n_right),
+        method="dense",
     )
 
 
 def empty_heat_model(params: PhysParams) -> HeatModel:
     z = jnp.zeros((0, 0), dtype=params.dtype)
+    z1 = jnp.zeros((0,), dtype=params.dtype)
     return HeatModel(
         L_inv=z, L_ss_inv=z,
         interface_idx=jnp.zeros((0,), dtype=jnp.int32),
+        interface_mask=jnp.zeros((0,), dtype=bool),
+        diag_base=z1,
+        step_scale=jnp.asarray(0.0, dtype=params.dtype),
         n_interface=0, n_left=0, n_right=0,
     )
 
@@ -220,6 +265,83 @@ def update_temperature_local(
     return new_state, {"Global temperature [K]": T_bg}
 
 
+def _laplacian_apply(geom: Geometry, heat: HeatModel, x):
+    """Matrix-free L @ x on interface sites (adjacency 1 + gamma boundary +
+    negative-degree diagonal), full-length vectors."""
+    mask = heat.interface_mask
+    safe = jnp.maximum(geom.neigh_idx, 0)
+    nb_int = mask[safe] & geom.neigh_valid
+    xm = jnp.where(mask, x, 0.0)
+    off = jnp.sum(jnp.where(nb_int, xm[safe], 0.0), axis=1)
+    n_int_nb = jnp.sum(nb_int, axis=1).astype(x.dtype)
+    diag = heat.diag_base - n_int_nb
+    return jnp.where(mask, diag * x + off, 0.0)
+
+
+def update_temperature_local_cg(
+    geom: Geometry,
+    params: PhysParams,
+    heat: HeatModel,
+    state: SimState,
+    step_time,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+) -> Tuple[SimState, Dict]:
+    """Matrix-free variant of :func:`update_temperature_local`: each
+    transient substep solves (I - dt*tau*L) T' = rhs with CG (the reference
+    instead precomputes the dense inverse, src/heat_solver.cpp:151-191);
+    the steady-state branch solves L T = -P*p_t."""
+    from ..ops.cg import cg_solve
+
+    dtype = params.dtype
+    T0 = params.background_temp
+    scale = C.T_1 - T0
+    mask = heat.interface_mask
+    p_t_full = jnp.where(
+        mask, _p_transfer(params, state.element), 0.0
+    ).astype(dtype)
+    P_full = jnp.where(mask, state.power, 0.0)
+    s = heat.step_scale
+
+    def transient(temp):
+        n_sub = jnp.floor(step_time / params.delta_t).astype(jnp.int32) + 1
+
+        def matvec(x):
+            return jnp.where(mask, x - s * _laplacian_apply(geom, heat, x), 0.0)
+
+        def body(carry):
+            temp, k = carry
+            t_vec = jnp.where(mask, (temp - T0) / scale, 0.0)
+            rhs = jnp.where(mask, t_vec + P_full * p_t_full * s, 0.0)
+            res = cg_solve(matvec, rhs, x0=t_vec, tol=tol, maxiter=maxiter)
+            temp = jnp.where(mask, res.x * scale + T0, temp)
+            return temp, k + 1
+
+        temp, _ = jax.lax.while_loop(
+            lambda c: c[1] < n_sub, body, (temp, jnp.asarray(0, jnp.int32))
+        )
+        return temp
+
+    def steady(temp):
+        # L T_tr = P*p_t  ->  solve with -L (SPD): (-L) T_tr = -P*p_t
+        def matvec(x):
+            return jnp.where(mask, -_laplacian_apply(geom, heat, x), 0.0)
+
+        rhs = jnp.where(mask, -P_full * p_t_full, 0.0)
+        res = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter)
+        return jnp.where(mask, -res.x * scale + T0, temp)
+
+    temp = jax.lax.cond(
+        step_time > 1e3 * params.delta_t, steady, transient, state.temperature
+    )
+    inner = geom.inner_mask
+    T_bg = jnp.sum(jnp.where(inner, temp, 0.0)) / jnp.sum(inner)
+    new_state = state.replace(
+        temperature=temp.astype(dtype), T_bg=T_bg.astype(dtype)
+    )
+    return new_state, {"Global temperature [K]": T_bg}
+
+
 def update_temperature(
     geom: Geometry,
     params: PhysParams,
@@ -232,5 +354,9 @@ def update_temperature(
     if params.solve_heating_global:
         return update_temperature_global(params, state, step_time)
     if params.solve_heating_local and heat is not None and heat.n_interface:
+        if heat.method == "cg":
+            return update_temperature_local_cg(
+                geom, params, heat, state, step_time
+            )
         return update_temperature_local(geom, params, heat, state, step_time)
     return state, {}
