@@ -251,3 +251,51 @@ def update_power(
         "contact_potential_drop": contact_drop,
     }
     return new_state, metrics
+
+
+def compute_bond_currents(
+    geom: Geometry,
+    params: PhysParams,
+    state: SimState,
+    Vd,
+    method: str = "cg",
+    cg_tol: float = 1e-10,
+):
+    """Per-atom bond-current flow field (analysis tool; reference:
+    postprocessing/plot_bond_current.py over a dumped X matrix).
+
+    Returns (I_vec [N_atom,3], I_out [N_atom]) where I_vec is the
+    displacement-weighted sum of outgoing bond currents at each atom and
+    I_out the total outgoing (positive) current.
+    """
+    dtype = params.dtype
+    Na = geom.N_atom
+    Nsub = Na + 1
+    X, loop_G = assemble_X(geom, params, state, Vd)
+    rhs = jnp.zeros(Nsub, dtype=dtype)
+    rhs = rhs.at[0].set(-loop_G * Vd)
+    rhs = rhs.at[1].set(loop_G * Vd)
+    if method == "direct":
+        v = jnp.linalg.solve(X[:Nsub, :Nsub], rhs)
+    else:
+        res = cg_solve(
+            lambda x: X[:Nsub, :Nsub] @ x, rhs,
+            x0=state.virtual_potentials[:Nsub],
+            diag=jnp.diagonal(X)[:Nsub], tol=cg_tol, maxiter=50000,
+        )
+        v = res.x
+    M = jnp.concatenate([v * G0, jnp.zeros(1, dtype=dtype)])
+    Matoms = M[2:]
+
+    apos = geom.coords[geom.atom_ind]
+    dM = Matoms[:, None] - Matoms[None, :]
+    I_bond = -X[2:, 2:] * dM                 # current from i to j (off-diag)
+    idx = jnp.arange(Na, dtype=jnp.int32)
+    I_bond = jnp.where(idx[:, None] != idx[None, :], I_bond, 0.0)
+
+    disp = apos[:, None, :] - apos[None, :, :]
+    norm = jnp.sqrt(jnp.sum(disp * disp, axis=-1))
+    unit = disp / jnp.where(norm > 0, norm, 1.0)[..., None]
+    I_vec = jnp.sum(I_bond[..., None] * (-unit), axis=1)
+    I_out = jnp.sum(jnp.where(I_bond > 0, I_bond, 0.0), axis=1)
+    return I_vec, I_out

@@ -68,27 +68,47 @@ def build_rate_table(
     noise), and f64 exp is software-emulated on TPU."""
     dtype = jnp.float32 if params.mixed else params.dtype
     elem = state.element
-    charge = state.charge.astype(dtype)
     phi = (state.potential_boundary + state.potential_charge).astype(dtype)
 
+    # TPU gathers are the bottleneck here: pack (element, charge, layer)
+    # into one int32 per site so the neighbour side needs only TWO gathers
+    # (code + phi) instead of four
+    code = (
+        (elem << 8)
+        | ((state.charge + 8) << 4)
+        | geom.site_layer
+    ).astype(jnp.int32)
+
     safe = jnp.maximum(geom.neigh_idx, 0)
+    code_j = code[safe]
+    e_j = code_j >> 8
+    q_j = (((code_j >> 4) & 15) - 8).astype(dtype)
+    lay_j = code_j & 15
+    phi_j = phi[safe]
+
     e_i = elem[:, None]
-    e_j = elem[safe]
-    q_i = charge[:, None]
-    q_j = charge[safe]
-    dphi = phi[:, None] - phi[safe]
+    q_i = state.charge.astype(dtype)[:, None]
+    dphi = phi[:, None] - phi_j
 
     # per-pair screened self-interaction for unit charge 1 / charge 2
     v1 = geom.v2_pair.astype(dtype)  # v_solve(r, 1); multiply by charge as needed
     v2 = v1 * 2.0                    # v_solve(r, 2)
 
     lay_i = geom.site_layer[:, None]
-    lay_j = geom.site_layer[safe]
     layer_E = geom.layer_E.astype(dtype)
-    E_gen_j = layer_E[lay_j, 0]
-    E_rec_j = layer_E[lay_j, 1]
-    E_diff_i = layer_E[lay_i, 2]
-    E_diff_j = layer_E[lay_j, 3]
+
+    def _table(col, lay):
+        # tiny-table lookup as an unrolled select chain (faster than a
+        # 5.7M-element gather on TPU)
+        out = layer_E[0, col] * jnp.ones_like(lay, dtype=dtype)
+        for k in range(1, layer_E.shape[0]):
+            out = jnp.where(lay == k, layer_E[k, col], out)
+        return out
+
+    E_gen_j = _table(0, lay_j)
+    E_rec_j = _table(1, lay_j)
+    E_diff_i = _table(2, lay_i)
+    E_diff_j = _table(3, lay_j)
 
     # 0: generation (d, O)
     m_gen = (e_i == _D) & (e_j == _O)

