@@ -71,8 +71,8 @@ def build_rate_table(
     phi = (state.potential_boundary + state.potential_charge).astype(dtype)
 
     # TPU gathers are the bottleneck here: pack (element, charge, layer)
-    # into one int32 per site so the neighbour side needs only TWO gathers
-    # (code + phi) instead of four
+    # into one int32 per site and pair it with phi in a two-lane row, so the
+    # neighbour side costs ONE row gather instead of four element gathers
     code = (
         (elem << 8)
         | ((state.charge + 8) << 4)
@@ -80,11 +80,19 @@ def build_rate_table(
     ).astype(jnp.int32)
 
     safe = jnp.maximum(geom.neigh_idx, 0)
-    code_j = code[safe]
+    if dtype == jnp.float32:
+        packed = jnp.stack(
+            [phi, jax.lax.bitcast_convert_type(code, jnp.float32)], axis=1
+        )                                 # [N, 2]
+        g = packed[safe]                  # [N, max_nn, 2] — one gather
+        phi_j = g[..., 0]
+        code_j = jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
+    else:
+        phi_j = phi[safe]
+        code_j = code[safe]
     e_j = code_j >> 8
     q_j = (((code_j >> 4) & 15) - 8).astype(dtype)
     lay_j = code_j & 15
-    phi_j = phi[safe]
 
     e_i = elem[:, None]
     q_i = state.charge.astype(dtype)[:, None]
