@@ -184,6 +184,10 @@ class Simulation:
             self.params = self.params.replace(
                 poisson_compact_cap=self._auto_poisson_cap()
             )
+        if cfg.active_rows_cap == -1:
+            self.params = self.params.replace(
+                active_rows_cap=self._auto_active_cap()
+            )
         self._make = make_superstep if fused else make_modular_superstep
         self._superstep = self._make(self.geom, self.params, self.heat)
         self._buffer = []
@@ -203,6 +207,42 @@ class Simulation:
         while cap < min(self.geom.N, int(1.3 * n_species) + 8):
             cap *= 2
         return min(cap, self.geom.N)
+
+    def _auto_active_cap(self) -> int:
+        """Power-of-two bucket over candidate event-source rows
+        (elements in {d, Od, V}); grown (with a redo) if exceeded."""
+        from .structure import Element
+
+        e = np.asarray(self.state.element)
+        n_src = int(
+            ((e == int(Element.DEFECT))
+             | (e == int(Element.OXYGEN_DEFECT))
+             | (e == int(Element.VACANCY))).sum()
+        )
+        cap = 1024
+        while cap < min(self.geom.N, int(1.25 * n_src) + 16):
+            cap *= 2
+        return min(cap, self.geom.N)
+
+    def _maybe_grow_active_cap(self, metrics: Dict) -> bool:
+        """Returns True if the last superstep may have been computed with an
+        overflowing row bucket and must be redone."""
+        if self.cfg.active_rows_cap != -1:
+            return False
+        n_active = metrics.get("n_active_rows")
+        if n_active is None:
+            return False
+        n_active = int(n_active)
+        cap = self.params.active_rows_cap
+        if cap <= 0:
+            return False
+        overflow = n_active >= cap
+        if overflow or n_active > 0.75 * cap:
+            new_cap = min(max(cap * 2, 1024), self.geom.N)
+            if new_cap != cap:
+                self.params = self.params.replace(active_rows_cap=new_cap)
+                self._superstep = self._make(self.geom, self.params, self.heat)
+        return overflow
 
     def _maybe_grow_poisson_cap(self, metrics: Dict):
         if self.cfg.poisson_compact_cap != -1:
@@ -322,7 +362,12 @@ class Simulation:
             if step_count % cfg.log_freq == 0:
                 self.write_snapshot(step_count, folder)
 
+            prev_state = self.state
             self.state, step_time, metrics = self._superstep(self.state, Vd)
+            if self._maybe_grow_active_cap(metrics):
+                # bucket overflowed: redo the step with the larger cap
+                self.state = prev_state
+                self.state, step_time, metrics = self._superstep(self.state, Vd)
             step_time = float(step_time)
             jax.block_until_ready(self.state.element)
             dt_step = time.perf_counter() - t_start

@@ -59,9 +59,12 @@ _O = int(Element.O)
 
 
 def build_rate_table(
-    geom: Geometry, params: PhysParams, state: SimState
+    geom: Geometry, params: PhysParams, state: SimState, active_idx=None
 ) -> jnp.ndarray:
-    """Rates for every (site, neighbour-slot) pair -> [N, max_nn].
+    """Rates for every (site, neighbour-slot) pair -> [N, max_nn]
+    (or [cap, max_nn] when ``active_idx`` restricts to candidate source
+    rows — only sites in {DEFECT, OXYGEN_DEFECT, VACANCY} can source an
+    event, so the compaction is exact).
 
     In mixed-precision mode the table is computed in f32: each rate is an
     independent exponential (relative error ~1e-7, far below KMC sampling
@@ -79,7 +82,24 @@ def build_rate_table(
         | geom.site_layer
     ).astype(jnp.int32)
 
-    safe = jnp.maximum(geom.neigh_idx, 0)
+    if active_idx is not None:
+        neigh_idx = geom.neigh_idx[active_idx]       # [cap, max_nn]
+        neigh_valid = geom.neigh_valid[active_idx]
+        v_pair = geom.v2_pair[active_idx]
+        row_elem = elem[active_idx]
+        row_charge = state.charge[active_idx]
+        row_phi = phi[active_idx]
+        row_layer = geom.site_layer[active_idx]
+    else:
+        neigh_idx = geom.neigh_idx
+        neigh_valid = geom.neigh_valid
+        v_pair = geom.v2_pair
+        row_elem = elem
+        row_charge = state.charge
+        row_phi = phi
+        row_layer = geom.site_layer
+
+    safe = jnp.maximum(neigh_idx, 0)
     if dtype == jnp.float32:
         packed = jnp.stack(
             [phi, jax.lax.bitcast_convert_type(code, jnp.float32)], axis=1
@@ -94,15 +114,15 @@ def build_rate_table(
     q_j = (((code_j >> 4) & 15) - 8).astype(dtype)
     lay_j = code_j & 15
 
-    e_i = elem[:, None]
-    q_i = state.charge.astype(dtype)[:, None]
-    dphi = phi[:, None] - phi_j
+    e_i = row_elem[:, None]
+    q_i = row_charge.astype(dtype)[:, None]
+    dphi = row_phi[:, None] - phi_j
 
     # per-pair screened self-interaction for unit charge 1 / charge 2
-    v1 = geom.v2_pair.astype(dtype)  # v_solve(r, 1); multiply by charge as needed
-    v2 = v1 * 2.0                    # v_solve(r, 2)
+    v1 = v_pair.astype(dtype)   # v_solve(r, 1); multiply by charge as needed
+    v2 = v1 * 2.0               # v_solve(r, 2)
 
-    lay_i = geom.site_layer[:, None]
+    lay_i = row_layer[:, None]
     layer_E = geom.layer_E.astype(dtype)
 
     def _table(col, lay):
@@ -145,7 +165,7 @@ def build_rate_table(
         m_gen, EA_gen,
         jnp.where(m_rec, EA_rec, jnp.where(m_vdf, EA_vdf, EA_idf)),
     )
-    any_event = (m_gen | m_rec | m_vdf | m_idf) & geom.neigh_valid
+    any_event = (m_gen | m_rec | m_vdf | m_idf) & neigh_valid
 
     kT = (C.KB_EV * state.T_bg).astype(dtype)
     # Clamp the Arrhenius exponent: strongly-downhill events (negative
@@ -228,6 +248,7 @@ class SuperstepResult(NamedTuple):
     state: "SimState"
     step_time: jnp.ndarray
     n_events: jnp.ndarray
+    n_active: jnp.ndarray = jnp.asarray(0, jnp.int32)
 
 
 def _select_flat(prob, u):
@@ -370,11 +391,44 @@ def execute_superstep_incremental(
     arithmetic.  Sums are kept in f64 (tiny arrays) so incremental drift is
     negligible over a superstep; they are rebuilt from scratch every
     superstep anyway.
+
+    With ``params.active_rows_cap > 0`` the table is row-compacted to
+    candidate source sites (elements in {d, Od, V} — the only possible event
+    sources), which is exact as long as the active count fits the cap (the
+    returned ``n_active`` lets the driver grow the bucket).
     """
-    prob0 = build_rate_table(geom, params, state)
-    n, m = prob0.shape
-    nb_pad = (-n) % _BLOCK
-    n_blocks = (n + nb_pad) // _BLOCK
+    N = geom.N
+    m = geom.max_nn
+    cap = params.active_rows_cap
+
+    if cap > 0:
+        elem = state.element
+        active = (
+            (elem == _D) | (elem == _OD) | (elem == _V)
+        )
+        n_active = jnp.sum(active, dtype=jnp.int32)
+        (aidx,) = jnp.nonzero(active, size=cap, fill_value=0)
+        aidx = aidx.astype(jnp.int32)
+        slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_active
+        # site -> compact row (-1 if not active / fill)
+        inv = jnp.full(N + 1, -1, dtype=jnp.int32)
+        inv = inv.at[jnp.where(slot_ok, aidx, N)].set(
+            jnp.arange(cap, dtype=jnp.int32)
+        )[:N]
+        prob0 = build_rate_table(geom, params, state, active_idx=aidx)
+        prob0 = jnp.where(slot_ok[:, None], prob0, 0.0)
+        row_nb = geom.neigh_idx[aidx]          # [cap, m]
+        n_rows = cap
+    else:
+        aidx = jnp.arange(N, dtype=jnp.int32)
+        inv = aidx
+        n_active = jnp.asarray(N, jnp.int32)
+        prob0 = build_rate_table(geom, params, state)
+        row_nb = geom.neigh_idx
+        n_rows = N
+
+    nb_pad = (-n_rows) % _BLOCK
+    n_blocks = (n_rows + nb_pad) // _BLOCK
     acc = jnp.float64 if prob0.dtype == jnp.float32 else prob0.dtype
 
     row_sums0 = jnp.sum(prob0, axis=1, dtype=acc)
@@ -392,7 +446,7 @@ def execute_superstep_incremental(
         key, k_sel, k_time = jax.random.split(key, 3)
         u = jax.random.uniform(k_sel, dtype=acc)
 
-        # --- hierarchical selection ---
+        # --- hierarchical selection (over compact rows) ---
         block_cum = jnp.cumsum(block_sums)
         psum = block_cum[-1]
         target = u * psum
@@ -407,10 +461,10 @@ def execute_superstep_incremental(
             jnp.searchsorted(row_cum, target - base_b, side="right").astype(jnp.int32),
             _BLOCK - 1,
         )
-        i = blk * _BLOCK + r_in
-        i = jnp.minimum(i, n - 1)
+        r = jnp.minimum(blk * _BLOCK + r_in, n_rows - 1)
+        i = aidx[r]
         base_r = jnp.where(r_in > 0, row_cum[r_in - 1], 0.0)
-        slot_cum = jnp.cumsum(prob[i].astype(acc))
+        slot_cum = jnp.cumsum(prob[r].astype(acc))
         s = jnp.minimum(
             jnp.searchsorted(slot_cum, target - base_b - base_r, side="right"
                              ).astype(jnp.int32),
@@ -418,34 +472,38 @@ def execute_superstep_incremental(
         )
         j = geom.neigh_idx[i, s]
 
-        valid = (psum > 0) & (prob[i, s] > 0)
+        valid = (psum > 0) & (prob[r, s] > 0)
         ev = _event_type_from_elements(element[i], element[j])
         ev = jnp.where(valid, ev, NULL_EVENT)
         element, charge = _execute_event(element, charge, i, j, ev)
 
         # --- incremental conflict zeroing ---
-        # entries to kill: full rows i and j, plus the reverse-edge slot of
-        # i (and j) in every neighbouring row (reference semantics:
-        # src/KMCProcess.cpp:327-352).  Invalid/fill slots are redirected
-        # into row i, which is fully zeroed afterwards, so scatter
-        # collisions cannot resurrect values.
+        # entries to kill: full rows of i and j (if active), plus the
+        # reverse-edge slot of i (and j) in every neighbouring active row
+        # (reference semantics: src/KMCProcess.cpp:327-352).  Invalid/fill
+        # slots are redirected into row r, which is fully zeroed afterwards,
+        # so scatter collisions cannot resurrect values.
+        rj_row = inv[jnp.maximum(j, 0)]
+        rj_row = jnp.where((j >= 0) & (rj_row >= 0), rj_row, r)
+
         def rev_targets(site):
-            nbrs = geom.neigh_idx[site]          # [m] rows containing `site`
+            nbrs = geom.neigh_idx[site]          # [m] sites whose rows hold `site`
             slots = geom.rev_slot[site]          # [m] slot of `site` there
-            rvalid = (nbrs >= 0) & (slots >= 0)
-            rows = jnp.where(rvalid, nbrs, i).astype(jnp.int32)
+            crow = inv[jnp.maximum(nbrs, 0)]
+            rvalid = (nbrs >= 0) & (slots >= 0) & (crow >= 0)
+            rows = jnp.where(rvalid, crow, r).astype(jnp.int32)
             cols = jnp.where(rvalid, slots, 0).astype(jnp.int32)
             return rows, cols
 
-        ri, ci = rev_targets(i)
-        rj, cj = rev_targets(j)
+        ri_, ci = rev_targets(i)
+        rj_, cj = rev_targets(j)
 
-        # zero the probability entries (order matters: rows i/j wipe last,
-        # covering any fill-slot writes redirected there)
-        prob = prob.at[ri, ci].set(jnp.where(valid, 0.0, prob[ri, ci]))
-        prob = prob.at[rj, cj].set(jnp.where(valid, 0.0, prob[rj, cj]))
-        prob = prob.at[i, :].set(jnp.where(valid, 0.0, prob[i, :]))
-        prob = prob.at[j, :].set(jnp.where(valid, 0.0, prob[j, :]))
+        # zero the probability entries (order matters: rows r / rj wipe
+        # last, covering any fill-slot writes redirected there)
+        prob = prob.at[ri_, ci].set(jnp.where(valid, 0.0, prob[ri_, ci]))
+        prob = prob.at[rj_, cj].set(jnp.where(valid, 0.0, prob[rj_, cj]))
+        prob = prob.at[r, :].set(jnp.where(valid, 0.0, prob[r, :]))
+        prob = prob.at[rj_row, :].set(jnp.where(valid, 0.0, prob[rj_row, :]))
 
         # Recompute the touched rows' sums EXACTLY from the zeroed table
         # (<= 2m+2 rows of m entries — trivial).  Delta-subtraction would be
@@ -453,7 +511,7 @@ def execute_superstep_incremental(
         # "instant" rate leaves ulp-scale noise that dwarfs the surviving
         # small rates and corrupts the residence-time clock.
         rows_touched = jnp.concatenate(
-            [ri, rj, jnp.stack([i, j]).astype(jnp.int32)]
+            [ri_, rj_, jnp.stack([r, rj_row]).astype(jnp.int32)]
         )
         new_rvals = jnp.sum(prob[rows_touched].astype(acc), axis=1)
         row_sums = jnp.where(
@@ -499,4 +557,7 @@ def execute_superstep_incremental(
         key=key,
         kmc_time=state.kmc_time + event_time,
     )
-    return SuperstepResult(state=new_state, step_time=event_time, n_events=count)
+    return SuperstepResult(
+        state=new_state, step_time=event_time, n_events=count,
+        n_active=n_active,
+    )

@@ -118,6 +118,7 @@ class PhysParams:
     event_mode: str = struct.field(pytree_node=False, default="incremental")
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
+    active_rows_cap: int = struct.field(pytree_node=False, default=0)
     mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
@@ -307,6 +308,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         event_mode=cfg.event_mode,
         max_events_per_superstep=cfg.max_events_per_superstep,
         poisson_compact_cap=cfg.poisson_compact_cap,
+        active_rows_cap=max(cfg.active_rows_cap, 0),
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )

@@ -39,6 +39,7 @@ def superstep_impl(
         res = events_mod.execute_superstep(geom, params, state)
         state, step_time = res.state, res.step_time
         metrics["n_events"] = res.n_events
+        metrics["n_active_rows"] = res.n_active
 
     if params.solve_current:
         state, m = current_mod.update_power(geom, params, state, Vd)

@@ -163,3 +163,27 @@ def test_rates_finite_under_extreme_fields(small_sim):
     # the superstep must terminate
     res = events_mod.execute_superstep(geom, pm, state)
     assert int(res.n_events) < pm.max_events_per_superstep
+
+
+def test_active_row_compaction_matches_full(small_sim):
+    """Row-compacted incremental loop == full-table incremental loop
+    (identical RNG stream; compaction over candidate sources is exact)."""
+    s, cfg, geom, params, state, elems = _prepared(small_sim)
+    n_src = int(np.isin(elems, [0, 1, 2]).sum())
+    p_full = params.replace(active_rows_cap=0)
+    p_cmp = params.replace(active_rows_cap=max(64, n_src + 16))
+    for _ in range(3):
+        r_full = events_mod.execute_superstep(geom, p_full, state)
+        r_cmp = events_mod.execute_superstep(geom, p_cmp, state)
+        assert int(r_full.n_events) == int(r_cmp.n_events)
+        np.testing.assert_array_equal(
+            np.asarray(r_full.state.element), np.asarray(r_cmp.state.element)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_full.state.charge), np.asarray(r_cmp.state.charge)
+        )
+        assert float(r_full.step_time) == pytest.approx(
+            float(r_cmp.step_time), rel=1e-12
+        )
+        assert int(r_cmp.n_active) <= p_cmp.active_rows_cap
+        state = r_full.state
