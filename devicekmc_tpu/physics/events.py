@@ -101,12 +101,20 @@ def build_rate_table(
 
     safe = jnp.maximum(neigh_idx, 0)
     if dtype == jnp.float32:
+        # Bit-or 0x40000000 so the bitcast lane is a NORMAL float (~2.0):
+        # raw small ints are denormal bit patterns and TPU flushes denormals
+        # to zero even through data movement.
+        norm_code = code | jnp.int32(0x40000000)
         packed = jnp.stack(
-            [phi, jax.lax.bitcast_convert_type(code, jnp.float32)], axis=1
+            [phi, jax.lax.bitcast_convert_type(norm_code, jnp.float32)],
+            axis=1,
         )                                 # [N, 2]
         g = packed[safe]                  # [N, max_nn, 2] — one gather
         phi_j = g[..., 0]
-        code_j = jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
+        code_j = (
+            jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
+            & jnp.int32(0xFFFF)
+        )
     else:
         phi_j = phi[safe]
         code_j = code[safe]

@@ -187,3 +187,20 @@ def test_active_row_compaction_matches_full(small_sim):
         )
         assert int(r_cmp.n_active) <= p_cmp.active_rows_cap
         state = r_full.state
+
+
+def test_mixed_rate_table_matches_f64_where_representable(small_sim):
+    """The f32 (mixed) rate path — packed single-gather — must agree with
+    f64 for every rate representable in f32 (tiny rates may flush to zero;
+    they are never selected in practice)."""
+    s, cfg, geom, params, state, elems = _prepared(small_sim)
+    P64 = np.asarray(events_mod.build_rate_table(geom, params, state))
+    P32 = np.asarray(
+        events_mod.build_rate_table(geom, params.replace(mixed=True), state)
+    )
+    # representable: exp factor above the f32 denormal floor (rate = 1e14*exp)
+    big = P64 > 1e-20
+    # exp amplifies f32 rounding by |EA/kT| (~150x)
+    np.testing.assert_allclose(P32[big], P64[big], rtol=5e-5)
+    # zeros only where f64 is (sub-f32) tiny
+    assert (P64[(P32 == 0) & (P64 > 0)] < 1e-20).all()
