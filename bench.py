@@ -54,9 +54,9 @@ def build_crossbar_sim(precision: str):
         perturb_structure=True,
         precision=precision,
         # the timing restart snapshot has zero V/Od species; each superstep
-        # adds at most a few — 2048 slots is exact for any bench length
+        # adds at most a few — 256 slots is exact for any bench length
         # (verified per step via the n_charged_sites metric)
-        poisson_compact_cap=2048,
+        poisson_compact_cap=256,
         solver_tol=1e-8,
     )
     elements, coords = read_xyz(CROSSBAR_XYZ)

@@ -195,3 +195,35 @@ def test_bond_currents(small_sim):
     assert I_vec.shape == (geom.N_atom, 3)
     assert bool(jnp.isfinite(I_vec).all()) and bool(jnp.isfinite(I_out).all())
     assert float(I_out.max()) > 0
+
+
+def test_pallas_poisson_interpret_matches_jnp():
+    """Pallas pairwise kernel (interpret mode) == jnp compact Poisson."""
+    import jax
+
+    from devicekmc_tpu.ops.pairwise_pallas import poisson_pairwise_pallas
+    from devicekmc_tpu.physics.potential import _poisson_rows_compact
+
+    rng = np.random.default_rng(0)
+    N, cap = 700, 128
+    coords = jnp.asarray(rng.uniform(0, 30, (N, 3)), jnp.float32)
+    charge = np.zeros(N, np.int32)
+    charge[rng.choice(N, 40, replace=False)] = rng.choice([-2, 2], 40)
+    charge = jnp.asarray(charge)
+    lattice = jnp.asarray([30.0, 30.0, 30.0], jnp.float32)
+    sigma, k = jnp.float32(3.5e-10), jnp.float32(8.987552e9 / 23)
+
+    for pbc in (False, True):
+        ref, n_ch = _poisson_rows_compact(
+            coords, charge, lattice, sigma, k, pbc, 256, cap
+        )
+        (cidx,) = jnp.nonzero(charge != 0, size=cap, fill_value=0)
+        ok = jnp.arange(cap) < n_ch
+        cq = jnp.where(ok, charge[cidx], 0).astype(jnp.float32)
+        got = poisson_pairwise_pallas(
+            coords, cidx.astype(jnp.int32), cq, sigma, k, lattice, pbc,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6 * float(jnp.abs(ref).max())
+        )
