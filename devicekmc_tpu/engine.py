@@ -165,11 +165,21 @@ class Simulation:
         elements: Optional[np.ndarray] = None,
         coords: Optional[np.ndarray] = None,
         fused: bool = True,
+        mesh=None,
     ):
+        """``mesh``: an optional 1-D jax.sharding.Mesh ("sites" axis); the
+        site axis is padded to the mesh size and pair arrays are sharded
+        across it (parallel/sharding.py)."""
         self.cfg = cfg
+        self.mesh = mesh
+        pad_to = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self.geom, self.params, self.state = build_simulation(
-            cfg, elements=elements, coords=coords
+            cfg, elements=elements, coords=coords, pad_to=pad_to
         )
+        if mesh is not None:
+            from .parallel.sharding import shard_simulation
+
+            self.geom, self.state = shard_simulation(self.geom, self.state, mesh)
         if cfg.solve_heating_local:
             elems_np = np.asarray(self.state.element)
             self.heat = heat_mod.build_heat_model(
@@ -188,7 +198,12 @@ class Simulation:
             self.params = self.params.replace(
                 active_rows_cap=self._auto_active_cap()
             )
-        self._make = make_superstep if fused else make_modular_superstep
+        if mesh is not None:
+            from .parallel.sharding import make_sharded_superstep
+
+            self._make = lambda g, p, h: make_sharded_superstep(g, p, h, mesh)
+        else:
+            self._make = make_superstep if fused else make_modular_superstep
         self._superstep = self._make(self.geom, self.params, self.heat)
         self._buffer = []
         self.output_path = os.path.join(cfg.output_dir, "output.txt")

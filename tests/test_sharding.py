@@ -79,3 +79,36 @@ def test_mesh_helper(cpu_devices):
     mesh = make_mesh(4, devices=cpu_devices)
     assert mesh.devices.shape == (4,)
     assert mesh.axis_names == ("sites",)
+
+
+def test_simulation_with_mesh(tmp_path, cpu_devices):
+    """End-to-end Simulation driver over a 4-device mesh."""
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.engine import Simulation
+    from devicekmc_tpu.structure import make_test_structure
+
+    s = make_test_structure(nx_contact=2, nx_oxide=6, ny=3, nz=3, seed=3)
+    cfg = KMCConfig(
+        lattice=list(s.lattice), nn_dist=3.0,
+        num_atoms_first_layer=s.num_atoms_first_layer,
+        num_layers_contact=s.num_layers_contact,
+        num_atoms_contact=s.num_atoms_contact,
+        layers=s.layers,
+        solve_potential=True, solve_current=True, solve_heating_global=True,
+        perturb_structure=True, pristine=True,
+        initial_vacancy_concentration=0.1, A=6.25e-19,
+        output_dir=str(tmp_path),
+    )
+    mesh = make_mesh(4, devices=cpu_devices)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords, mesh=mesh)
+    summary = sim.run_bias_point(2.0, 1e-12, max_steps=3)
+    assert summary["steps"] >= 1
+    import os
+
+    assert os.path.exists(os.path.join(tmp_path, "output.txt"))
+
+    # same trajectory as the single-device driver
+    sim1 = Simulation(cfg, elements=s.elements, coords=s.coords)
+    # pad single-device geometry to match (mesh run pads to 4)
+    summary1 = sim1.run_bias_point(2.0, 1e-12, max_steps=3)
+    assert summary["steps"] == summary1["steps"]
