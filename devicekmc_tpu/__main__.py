@@ -42,7 +42,11 @@ def main(argv=None):
     cfg = parse_parameters(args.parameters)
     print(f"Backend: {jax.default_backend()} ({jax.devices()[0]})")
     print("Constructing device...")
-    sim = Simulation(cfg, fused=not args.modular)
+    try:
+        sim = Simulation(cfg, fused=not args.modular)
+    except FileNotFoundError as e:
+        print(e)
+        return 1
     print(
         f"Loaded {sim.geom.N_real} sites into device : "
         f"{sim.geom.N_atom} atoms and "

@@ -386,6 +386,13 @@ def build_simulation(
 
     if elements is None:
         if cfg.restart:
+            import os
+
+            if not os.path.exists(cfg.restart_xyz_file):
+                # graceful message like the reference (kmc_main.cpp:67-74)
+                raise FileNotFoundError(
+                    f"ERROR: Restart file {cfg.restart_xyz_file} not found!"
+                )
             elements, coords = read_xyz(cfg.restart_xyz_file)
         else:
             e1, c1 = read_xyz(cfg.atom_xyz_file)
