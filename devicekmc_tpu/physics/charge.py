@@ -27,11 +27,17 @@ NN_COND = 2  # vacancy neighbour count that neutralises a vacancy
 def update_charge(geom: Geometry, state: SimState) -> Tuple[SimState, Dict]:
     elem = state.element
     safe = jnp.maximum(geom.neigh_idx, 0)
-    nb_elem = elem[safe]                               # [N, max_nn]
     valid = geom.neigh_valid
 
-    nb_is_vac = (nb_elem == int(Element.VACANCY)) & valid
-    nb_is_metal = geom.metal_mask_table[nb_elem] & valid
+    # single per-site flag word (is_metal << 1 | is_vacancy) -> one gather
+    # instead of two (TPU gathers dominate this kernel's cost)
+    flags = (
+        (geom.metal_mask_table[elem].astype(jnp.int32) << 1)
+        | (elem == int(Element.VACANCY)).astype(jnp.int32)
+    )
+    nb_flags = flags[safe]
+    nb_is_vac = ((nb_flags & 1) > 0) & valid
+    nb_is_metal = ((nb_flags & 2) > 0) & valid
 
     n_vac_nn = jnp.sum(nb_is_vac, axis=1, dtype=jnp.int32)
     has_metal_nn = jnp.any(nb_is_metal, axis=1)

@@ -218,15 +218,32 @@ def update_power(
     min_V = jnp.min(Matoms)
     Ms = Matoms + jnp.abs(min_V)
 
-    dM = Ms[:, None] - Ms[None, :]
-    I_cal = X[2:, 2:] * dM
-    fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+    # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i]) with
+    # I_neg(i,j) = -X(i,j)(Ms_i - Ms_j) on forward-current pairs
+    # (diagonal fold + gemv, src/current_solver.cpp:319-337).
+    # Swept in row blocks so no second N_atom^2 array is materialised
+    # alongside X (keeps peak memory ~ |X| at crossbar scale).
+    BLK = 1024
+    na_pad = (-Na) % BLK
+    Xa_p = jnp.pad(X[2:, 2:], ((0, na_pad), (0, 0)))
+    Ms_p = jnp.pad(Ms, (0, na_pad))
     idx = jnp.arange(Na, dtype=jnp.int32)
-    offd = idx[:, None] != idx[None, :]
-    I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
-    # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i])  (diagonal fold + gemv,
-    # src/current_solver.cpp:319-337)
-    P_disp = jnp.sum(I_neg * (-dM), axis=1)
+
+    def block_pdisp(b0):
+        rows = jax.lax.dynamic_slice(Xa_p, (b0, jnp.int32(0)), (BLK, Na))
+        ms_b = jax.lax.dynamic_slice(Ms_p, (b0,), (BLK,))
+        ids = b0 + jnp.arange(BLK, dtype=jnp.int32)
+        dMb = ms_b[:, None] - Ms[None, :]
+        I_cal = rows * dMb
+        fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+        offd = ids[:, None] != idx[None, :]
+        I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
+        return jnp.sum(I_neg * (-dMb), axis=1)
+
+    n_blocks = (Na + na_pad) // BLK
+    P_disp = jax.lax.map(
+        block_pdisp, jnp.arange(n_blocks, dtype=jnp.int32) * BLK
+    ).reshape(-1)[:Na]
 
     metal = geom.metal_mask_table[state.element[geom.atom_ind]]
     in_range = (idx >= nsi) & (idx < Na - nsi)
