@@ -85,6 +85,32 @@ def build_crossbar_sim(precision: str):
     return geom, params, heat, state
 
 
+TEST1_DIR = "/root/reference/depreciated/tests/1-potential"
+
+
+def build_full_physics_sim(precision: str):
+    """Full coupled pipeline (charge + potentials + KMC + transport + heat)
+    on the reference's 9030-site / 5268-atom single device at Vd = 5 V."""
+    from devicekmc_tpu.config import parse_parameters
+    from devicekmc_tpu.physics import heat as heat_mod
+    from devicekmc_tpu.state import build_geometry, build_params, init_state
+    from devicekmc_tpu.structure import read_xyz
+
+    cfg = parse_parameters(os.path.join(TEST1_DIR, "parameters.txt"))
+    cfg.restart_xyz_file = os.path.join(TEST1_DIR, "snapshot_init.xyz")
+    cfg.solve_current = True
+    cfg.solve_heating_global = True
+    cfg.perturb_structure = True
+    cfg.precision = precision
+    cfg.solver_tol = 1e-8
+    cfg.A = 26.914773122e-10 * 26.6371955996e-10
+    elements, coords = read_xyz(cfg.restart_xyz_file)
+    geom = build_geometry(elements, coords, cfg)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elements)
+    return geom, params, heat_mod.empty_heat_model(params), state
+
+
 def build_synthetic_sim(n_sites: int, precision: str):
     """Synthetic stack of comparable size when the reference tree is absent."""
     from devicekmc_tpu.config import KMCConfig
@@ -124,6 +150,10 @@ def main():
              "(validated against f64, tools/precision_study.py)",
     )
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--full", action="store_true",
+                    help="full coupled pipeline (incl. transport+heat) on the "
+                         "9030-site reference device instead of the crossbar")
+    ap.add_argument("--vd", type=float, default=None)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -131,7 +161,9 @@ def main():
 
     from devicekmc_tpu.superstep import superstep_impl
 
-    if args.synthetic or not os.path.exists(CROSSBAR_XYZ):
+    if args.full:
+        geom, params, heat, state = build_full_physics_sim(args.precision)
+    elif args.synthetic or not os.path.exists(CROSSBAR_XYZ):
         geom, params, _, heat, state = build_synthetic_sim(
             args.synthetic or 100_000, args.precision
         )
@@ -143,7 +175,10 @@ def main():
           file=sys.stderr)
 
     step = jax.jit(superstep_impl)
-    Vd = 1.0
+    Vd = args.vd if args.vd is not None else (5.0 if args.full else 1.0)
+    if args.full:
+        from devicekmc_tpu.physics.potential import solve_cb_edge
+        state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
 
     t0 = time.time()
     for _ in range(args.warmup):
@@ -176,7 +211,8 @@ def main():
     print(f"# median superstep {median:.4f}s, mean {np.mean(times):.4f}s, "
           f"{total_events} events in {args.steps} steps", file=sys.stderr)
     print(json.dumps({
-        "metric": "kmc_supersteps_per_s",
+        "metric": "kmc_supersteps_per_s" if not args.full
+                  else "full_pipeline_supersteps_per_s",
         "value": round(steps_per_s, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
