@@ -33,6 +33,7 @@ def cg_solve(
     diag: Optional[jnp.ndarray] = None,
     tol: float = 1e-12,
     maxiter: int = 50000,
+    criterion: str = "r",
 ) -> CGResult:
     """Solve A x = b for SPD A with preconditioned CG.
 
@@ -42,8 +43,16 @@ def cg_solve(
       x0: warm start (reference warm-starts from the previous step's
         solution, src/iterative_solvers_gpu.cu:339-344); defaults to zeros.
       diag: diagonal of A for Jacobi preconditioning; if None, identity.
-      tol: relative tolerance on ||r|| / ||b||.
+      tol: relative tolerance.
       maxiter: iteration cap.
+      criterion: "r"   — plain residual: ||r|| <= tol*||b||;
+                 "pre" — preconditioned (Jacobi-scaled) residual:
+                 sqrt(r'M^-1 r) <= tol*sqrt(b'M^-1 b).  Use "pre" for
+                 matrices whose row scales span many decades (e.g. the
+                 transport matrix with its loop_G ~ 1e7 penalty rows vs
+                 ~1e-14 tunnelling rows) — this matches the reference's
+                 stopping rule on the symmetric-scaled system
+                 (src/iterative_solvers_gpu.cu:309-480).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -52,9 +61,15 @@ def cg_solve(
     else:
         minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
 
-    bnorm = jnp.sqrt(jnp.dot(b, b))
-    # absolute threshold; guard b == 0
-    thresh = tol * jnp.where(bnorm > 0, bnorm, 1.0)
+    if criterion == "pre":
+        ref = jnp.sqrt(jnp.dot(b, minv * b))
+    else:
+        ref = jnp.sqrt(jnp.dot(b, b))
+    thresh = tol * jnp.where(ref > 0, ref, 1.0)
+    thresh2 = thresh * thresh
+
+    def measure2(r, rz):
+        return rz if criterion == "pre" else jnp.dot(r, r)
 
     r0 = b - matvec(x0)
     z0 = minv * r0
@@ -62,10 +77,8 @@ def cg_solve(
     rz0 = jnp.dot(r0, z0)
 
     def cond(carry):
-        _, r, _, _, it = carry
-        return jnp.logical_and(
-            jnp.sqrt(jnp.dot(r, r)) > thresh, it < maxiter
-        )
+        _, r, _, rz, it = carry
+        return jnp.logical_and(measure2(r, rz) > thresh2, it < maxiter)
 
     def body(carry):
         x, r, p, rz, it = carry
@@ -80,10 +93,10 @@ def cg_solve(
         p = z + beta * p
         return (x, r, p, rz_new, it + 1)
 
-    x, r, _, _, iters = jax.lax.while_loop(
+    x, r, _, rz, iters = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32))
     )
-    return CGResult(x=x, iters=iters, residual=jnp.sqrt(jnp.dot(r, r)))
+    return CGResult(x=x, iters=iters, residual=jnp.sqrt(jnp.abs(measure2(r, rz))))
 
 
 def cg_solve_mixed(

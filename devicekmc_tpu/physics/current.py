@@ -177,8 +177,8 @@ def update_power(
     state: SimState,
     Vd,
     method: str = "cg",
-    cg_tol: float = 1e-10,
-    cg_maxiter: int = 50000,
+    cg_tol: float = 1e-8,
+    cg_maxiter: int = 20000,
 ) -> Tuple[SimState, Dict]:
     dtype = params.dtype
     Na = geom.N_atom
@@ -197,9 +197,11 @@ def update_power(
         v = jnp.linalg.solve(Dsub, rhs)
     else:
         x0 = state.virtual_potentials[:Nsub]
+        # "pre" criterion: the matrix rows span ~21 decades (loop_G penalty
+        # vs tunnelling), so the plain residual norm is meaningless
         res = cg_solve(
             lambda x: Dsub @ x, rhs, x0=x0, diag=jnp.diagonal(Dsub),
-            tol=cg_tol, maxiter=cg_maxiter,
+            tol=cg_tol, maxiter=cg_maxiter, criterion="pre",
         )
         v = res.x
         cg_iters = res.iters
