@@ -143,6 +143,7 @@ class KMCConfig:
     max_events_per_superstep: int = 10000  # safety bound for the on-device loop
     poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
     active_rows_cap: int = -1              # event-source row compaction: -1 auto, 0 full table, >0 fixed
+    tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
 
     # ------------------------------------------------------------------
     # derived parameters (reference: input_parser.cpp:391-398)

@@ -198,6 +198,12 @@ class Simulation:
             self.params = self.params.replace(
                 active_rows_cap=self._auto_active_cap()
             )
+        if cfg.tunnel_vac_cap == -1 and cfg.solve_current:
+            # n_vac <= V+Od species count, the same bound the Poisson
+            # bucket uses
+            self.params = self.params.replace(
+                tunnel_vac_cap=self._auto_poisson_cap()
+            )
         if mesh is not None:
             from .parallel.sharding import make_sharded_superstep
 
@@ -256,6 +262,22 @@ class Simulation:
             new_cap = min(max(cap * 2, 1024), self.geom.N)
             if new_cap != cap:
                 self.params = self.params.replace(active_rows_cap=new_cap)
+                self._superstep = self._make(self.geom, self.params, self.heat)
+        return overflow
+
+    def _maybe_grow_tunnel_cap(self, metrics: Dict) -> bool:
+        if self.cfg.tunnel_vac_cap != -1:
+            return False
+        n_vac = metrics.get("n_vac_atoms")
+        cap = self.params.tunnel_vac_cap
+        if n_vac is None or cap <= 0:
+            return False
+        n_vac = int(n_vac)
+        overflow = n_vac >= cap
+        if overflow or n_vac > 0.75 * cap:
+            new_cap = min(max(cap * 2, 256), self.geom.N_atom)
+            if new_cap != cap:
+                self.params = self.params.replace(tunnel_vac_cap=new_cap)
                 self._superstep = self._make(self.geom, self.params, self.heat)
         return overflow
 
@@ -379,8 +401,10 @@ class Simulation:
 
             prev_state = self.state
             self.state, step_time, metrics = self._superstep(self.state, Vd)
-            if self._maybe_grow_active_cap(metrics):
-                # bucket overflowed: redo the step with the larger cap
+            grow_a = self._maybe_grow_active_cap(metrics)
+            grow_t = self._maybe_grow_tunnel_cap(metrics)
+            if grow_a or grow_t:
+                # a bucket overflowed: redo the step with the larger cap
                 self.state = prev_state
                 self.state, step_time, metrics = self._superstep(self.state, Vd)
             step_time = float(step_time)

@@ -48,6 +48,7 @@ def _site_sharded_geometry_specs() -> Geometry:
         site_layer=P("sites"),
         rev_slot=P("sites"),
         atom_ind=P(),            # atom gather indices: replicated
+        atom_metalp_idx=P(),
         metal_mask_table=P(),
         layer_E=P(),
         lattice=P(),

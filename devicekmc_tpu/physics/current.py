@@ -125,27 +125,61 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
     )
 
     # contact->trap: integrate over the occupied energy window
+    # (the only O(pairs * MAX_TUNNEL_STEPS) computation).
     dE_step = C.Q_C * DV_INT
 
-    def int_body(kk, acc):
-        iv = kk * dE_step
-        e1 = qV0 + iv
-        e2 = e1 - abs_dE
-        term = jnp.where(
-            e2 > 0,
-            jnp.exp(s * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
-            jnp.where(e2 < 0, jnp.exp(s * e1 ** 1.5), 0.0),
+    def _integrate(s_, abs_dE_):
+        def int_body(kk, acc):
+            iv = kk * dE_step
+            e1 = qV0 + iv
+            e2 = e1 - abs_dE_
+            term = jnp.where(
+                e2 > 0,
+                jnp.exp(s_ * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
+                jnp.where(e2 < 0, jnp.exp(s_ * e1 ** 1.5), 0.0),
+            )
+            return acc + jnp.where(iv < abs_dE_, term, 0.0)
+
+        return jax.lax.fori_loop(
+            0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(s_)
         )
-        return acc + jnp.where(iv < abs_dE, term, 0.0)
 
-    T_c2t = jax.lax.fori_loop(
-        0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(dist)
-    )
+    vcap = params.tunnel_vac_cap
+    if vcap > 0 and geom.atom_metalp_idx.shape[0] > 0:
+        # Compacted: c2t pairs live on (vacancy x interior-metal) only.
+        # metal_p is static (events never touch metals, atom_metalp_idx);
+        # vacancies are compacted into a driver-grown bucket.  Exact while
+        # n_vac <= vcap (n_vac_atoms metric lets the driver redo on
+        # overflow).  Cuts the integral from Na^2 to n_vac*n_mp pairs.
+        mp = geom.atom_metalp_idx                     # [n_mp]
+        (vidx,) = jnp.nonzero(anyvac, size=vcap, fill_value=0)
+        vidx = vidx.astype(jnp.int32)
+        v_ok = jnp.arange(vcap, dtype=jnp.int32) < jnp.sum(
+            anyvac, dtype=jnp.int32
+        )
+        s_cv = s[vidx][:, mp]                          # [vcap, n_mp]
+        abs_cv = abs_dE[vidx][:, mp]
+        elig_cv = eligible[vidx][:, mp] & v_ok[:, None]
+        T_cv = jnp.where(elig_cv, _integrate(s_cv, abs_cv), 0.0)
 
-    T = jnp.where(c2t, T_c2t, T_single)
-    X_atoms = jnp.where(
-        neighbor, -G_nb, jnp.where(eligible, -T, 0.0)
-    ).astype(dtype)
+        T = T_single                                   # t2t / c2c
+        X_atoms = jnp.where(
+            neighbor, -G_nb, jnp.where(eligible & ~c2t, -T, 0.0)
+        ).astype(dtype)
+        # scatter the compact c2t entries symmetrically; fill slots carry 0
+        # and eligibility masking keeps neighbour entries untouched
+        upd = jnp.where(elig_cv, -T_cv, 0.0).astype(dtype)
+        keep_vm = jnp.where(
+            elig_cv, 0.0, X_atoms[vidx][:, mp]
+        ).astype(dtype)
+        X_atoms = X_atoms.at[vidx[:, None], mp[None, :]].set(keep_vm + upd)
+        X_atoms = X_atoms.at[mp[None, :], vidx[:, None]].set(keep_vm + upd)
+    else:
+        T_c2t = _integrate(s, abs_dE)
+        T = jnp.where(c2t, T_c2t, T_single)
+        X_atoms = jnp.where(
+            neighbor, -G_nb, jnp.where(eligible, -T, 0.0)
+        ).astype(dtype)
 
     # --- assemble the full (Na+2) x (Na+2) matrix ---
     Nf = Na + 2
@@ -262,7 +296,11 @@ def update_power(
         P_tot=P_tot,
         virtual_potentials=new_vp,
     )
+    n_vac_atoms = jnp.sum(
+        state.element[geom.atom_ind] == int(Element.VACANCY), dtype=jnp.int32
+    )
     metrics = {
+        "n_vac_atoms": n_vac_atoms,
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
         "Total dissipated power [mW]": P_tot * 1e3,

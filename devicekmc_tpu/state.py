@@ -55,6 +55,9 @@ class Geometry:
     layer_E: Any         # [n_layers, 4] float: E_gen_0, E_rec_1, E_diff_2, E_diff_3
     lattice: Any         # [3] float
 
+    atom_metalp_idx: Any # [n_mp] int32: atom slots that are "interior metal"
+                         # (metal_p, src/current_solver.cpp:86-92) — static
+                         # because events never touch metal sites
     rev_slot: Any        # [N,max_nn] int32: slot of i within row neigh_idx[i,s]
                          # (reverse edge; -1 at pads) — used by the
                          # incremental event loop's O(max_nn) conflict zeroing
@@ -119,6 +122,7 @@ class PhysParams:
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
     active_rows_cap: int = struct.field(pytree_node=False, default=0)
+    tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
     mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
@@ -221,6 +225,20 @@ def build_geometry(
     atom_mask = ~np.isin(elements, [int(e) for e in NON_ATOM_ELEMENTS])
     atom_ind = np.nonzero(atom_mask)[0].astype(np.int32)
 
+    # interior-metal atoms for the transport solver's tunnelling rules
+    # (metal_p; static since no KMC event changes a metal site)
+    metal_ids_arr = np.array([i in metal_ids for i in range(len(Element))])
+    aelem0 = elements[atom_ind]
+    na = len(atom_ind)
+    aidx = np.arange(na)
+    nlc, nsi = cfg.num_layers_contact, cfg.num_atoms_first_layer
+    metalp = (
+        metal_ids_arr[aelem0]
+        & (aidx > (nlc - 1) * nsi)
+        & (aidx < na - (nlc - 1) * nsi)
+    )
+    atom_metalp_idx = np.nonzero(metalp)[0].astype(np.int32)
+
     # reverse-edge slots: rev_slot[i,s] = t such that neigh_idx[j,t] == i for
     # j = neigh_idx[i,s].  Exists because the neighbour relation is symmetric;
     # rows are ascending so t = #(entries of row j < i).
@@ -250,6 +268,7 @@ def build_geometry(
         pair_dist=jnp.asarray(dist, dtype=dtype),
         v2_pair=jnp.asarray(v2, dtype=dtype),
         site_layer=jnp.asarray(site_layer, dtype=jnp.int32),
+        atom_metalp_idx=jnp.asarray(atom_metalp_idx),
         rev_slot=jnp.asarray(rev_slot),
         atom_ind=jnp.asarray(atom_ind),
         metal_mask_table=jnp.asarray(metal_table),
@@ -309,6 +328,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         max_events_per_superstep=cfg.max_events_per_superstep,
         poisson_compact_cap=cfg.poisson_compact_cap,
         active_rows_cap=max(cfg.active_rows_cap, 0),
+        tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )

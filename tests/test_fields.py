@@ -227,3 +227,19 @@ def test_pallas_poisson_interpret_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-6 * float(jnp.abs(ref).max())
         )
+
+
+def test_tunnel_vac_compaction_matches_dense(small_sim):
+    """Compact (vac x metal_p) contact->trap integral == dense path."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    X_dense, _ = current_mod.assemble_X(
+        geom, params.replace(tunnel_vac_cap=0), state, Vd
+    )
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    X_cmp, _ = current_mod.assemble_X(
+        geom, params.replace(tunnel_vac_cap=max(16, n_vac + 4)), state, Vd
+    )
+    np.testing.assert_allclose(
+        np.asarray(X_cmp), np.asarray(X_dense), rtol=1e-12, atol=0
+    )
