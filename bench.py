@@ -104,6 +104,8 @@ def build_full_physics_sim(precision: str):
     cfg.precision = precision
     cfg.solver_tol = 1e-8
     cfg.A = 26.914773122e-10 * 26.6371955996e-10
+    cfg.tunnel_vac_cap = 512    # structure has ~100 vacancies; headroom
+    cfg.poisson_compact_cap = 512
     elements, coords = read_xyz(cfg.restart_xyz_file)
     geom = build_geometry(elements, coords, cfg)
     params = build_params(cfg)
