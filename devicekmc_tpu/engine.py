@@ -425,6 +425,14 @@ class Simulation:
             I_macro = float(self.state.I_macro)
             result = {k: float(v) for k, v in metrics.items()}
             self._maybe_grow_poisson_cap(result)
+
+            # solver-divergence warning (reference: 50k-iteration warning,
+            # src/iterative_solvers_gpu.cu:452-454)
+            for key in ("cg_iters_boundary", "cg_iters_power"):
+                if result.get(key, 0) >= self.params.solver_maxiter:
+                    self._log(f"WARNING: {key} hit the iteration cap "
+                              f"({self.params.solver_maxiter}) — solver may "
+                              "not have converged.\n")
             result["Z - calculation time - KMC superstep [s]"] = dt_step
             summary = result
 
