@@ -71,14 +71,22 @@ def _pairwise_dist_atoms(coords, lattice, pbc: bool):
 
 
 def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
-    """Dense X matrix [N_atom+2, N_atom+2] (symmetric, diagonal folded)."""
+    """Dense X matrix [N_atom+2, N_atom+2] (symmetric, diagonal folded).
+
+    In mixed-precision mode the pairwise assembly (distances, WKB
+    exponentials) runs in f32 — every entry is an independent elementwise
+    computation with ~1e-7 relative error, and all magnitudes involved
+    (1e-30..1e30) sit inside the f32 normal range; sub-1e-38 transmissions
+    flush to zero, which is physically nothing against low_G = 1e-8.  The
+    matrix itself is cast to f64 for the CG solve."""
     dtype = params.dtype
+    cdtype = jnp.float32 if params.mixed else params.dtype
     ai = geom.atom_ind
     Na = geom.N_atom
-    apos = geom.coords[ai]
+    apos = geom.coords[ai].astype(cdtype)
     aelem = state.element[ai]
     acharge = state.charge[ai]
-    acb = state.CB_edge[ai]                      # [J]
+    acb = state.CB_edge[ai].astype(cdtype)       # [J]
 
     high_G = params.high_G * 1e5                 # src/current_solver.cpp:9
     low_G = params.low_G
@@ -87,8 +95,8 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
 
     idx = jnp.arange(Na, dtype=jnp.int32)
     eye = idx[:, None] == idx[None, :]
-    dist = _pairwise_dist_atoms(apos, geom.lattice, geom.pbc)  # [Angstrom]
-    neighbor = (dist < params.nn_dist) & ~eye
+    dist = _pairwise_dist_atoms(apos, geom.lattice.astype(cdtype), geom.pbc)
+    neighbor = (dist < params.nn_dist.astype(cdtype)) & ~eye
 
     metal = geom.metal_mask_table[aelem]
     anyvac = aelem == int(Element.VACANCY)
@@ -96,7 +104,7 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
 
     # --- neighbour conductances ---
     hi_pair = (metal[:, None] & metal[None, :]) | (cvac[:, None] & cvac[None, :])
-    G_nb = jnp.where(hi_pair, high_G, low_G)
+    G_nb = jnp.where(hi_pair, high_G, low_G).astype(cdtype)
 
     # --- tunnelling ---
     nlc, nsi, nge = params.num_layers_contact, params.num_source_inj, params.num_ground_ext
@@ -107,13 +115,14 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
 
     dE = acb[:, None] - acb[None, :]             # [J]
     abs_dE = jnp.abs(dE)
-    eligible = (t2t | c2t | c2c) & (abs_dE > tol) & ~neighbor & ~eye
+    eligible = (t2t | c2t | c2c) & (abs_dE > jnp.asarray(tol, cdtype)) \
+        & ~neighbor & ~eye
     safe_abs_dE = jnp.where(eligible, abs_dE, 1.0)
 
-    prefac = -(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)
+    prefac = (-(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)).astype(cdtype)
     dist_m = dist * 1e-10
     s = prefac * dist_m / safe_abs_dE            # common exponent scale
-    qV0 = C.Q_C * params.V0                      # [J]
+    qV0 = (C.Q_C * params.V0).astype(cdtype)     # [J]
 
     # single-shot barrier (trap<->trap, contact<->contact)
     E1 = qV0
@@ -126,7 +135,7 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
 
     # contact->trap: integrate over the occupied energy window
     # (the only O(pairs * MAX_TUNNEL_STEPS) computation).
-    dE_step = C.Q_C * DV_INT
+    dE_step = jnp.asarray(C.Q_C * DV_INT, cdtype)
 
     def _integrate(s_, abs_dE_):
         def int_body(kk, acc):
