@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

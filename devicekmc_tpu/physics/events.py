@@ -36,7 +36,7 @@ the flat scan on ties, which is statistically irrelevant.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

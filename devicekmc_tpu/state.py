@@ -28,7 +28,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
-from jax.scipy.special import erfc
 
 from . import constants as C
 from .config import KMCConfig
@@ -37,7 +36,6 @@ from .structure import (
     NON_ATOM_ELEMENTS,
     assign_layers,
     build_neighbor_list,
-    pair_displacement,
     site_dist,
 )
 
