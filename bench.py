@@ -57,6 +57,9 @@ def build_crossbar_sim(precision: str):
         # adds at most a few — 256 slots is exact for any bench length
         # (verified per step via the n_charged_sites metric)
         poisson_compact_cap=256,
+        # candidate event sources: 35,452 d + grown V/Od species
+        # (what Simulation's auto bucket would pick)
+        active_rows_cap=49152,
         solver_tol=1e-8,
     )
     elements, coords = read_xyz(CROSSBAR_XYZ)
@@ -106,6 +109,7 @@ def build_full_physics_sim(precision: str):
     cfg.A = 26.914773122e-10 * 26.6371955996e-10
     cfg.tunnel_vac_cap = 512    # structure has ~100 vacancies; headroom
     cfg.poisson_compact_cap = 512
+    cfg.active_rows_cap = 8192  # ~3.9k d/Od/V sites + headroom
     elements, coords = read_xyz(cfg.restart_xyz_file)
     geom = build_geometry(elements, coords, cfg)
     params = build_params(cfg)
