@@ -262,3 +262,18 @@ def test_mixed_transport_assembly_close_to_f64(small_sim):
     assert rel.max() < 2e-2, rel.max()
     # no spurious structure: zero where f64 is zero, except f32-flushed tiny
     assert (np.abs(X64[(Xm == 0) & nz]) < 1e-30).all()
+
+
+def test_mixed_scaled_cg_transport_matches_direct(small_sim):
+    """Mixed-mode transport solve (f32 CG on the Jacobi-scaled system with
+    f64 refinement) reaches f64-direct accuracy."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    st_d, _ = current_mod.update_power(geom, params, state, Vd, method="direct")
+    pm_mixed = params.replace(mixed=True)
+    st_m, mm = current_mod.update_power(geom, pm_mixed, state, Vd, method="cg")
+    # mixed assembly contributes ~5e-5; the solver itself ~4e-7
+    np.testing.assert_allclose(
+        float(st_m.I_macro), float(st_d.I_macro), rtol=2e-4
+    )
+    assert int(mm["cg_iters_power"]) < 500
