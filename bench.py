@@ -57,9 +57,9 @@ def build_crossbar_sim(precision: str):
         # adds at most a few — 256 slots is exact for any bench length
         # (verified per step via the n_charged_sites metric)
         poisson_compact_cap=256,
-        # candidate event sources: 35,452 d + grown V/Od species
-        # (what Simulation's auto bucket would pick)
-        active_rows_cap=49152,
+        # active-row compaction measured net-negative here (n_active ~ N/3;
+        # the compaction gathers outweigh the smaller table)
+        active_rows_cap=0,
         solver_tol=1e-8,
     )
     elements, coords = read_xyz(CROSSBAR_XYZ)

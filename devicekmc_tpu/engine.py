@@ -239,6 +239,11 @@ class Simulation:
              | (e == int(Element.OXYGEN_DEFECT))
              | (e == int(Element.VACANCY))).sum()
         )
+        if n_src > self.geom.N // 8:
+            # compaction gathers outweigh the smaller table when the
+            # candidate set is a large fraction of N (measured) — use the
+            # full table
+            return 0
         cap = 1024
         while cap < min(self.geom.N, int(1.25 * n_src) + 16):
             cap *= 2
