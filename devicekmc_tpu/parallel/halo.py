@@ -152,6 +152,5 @@ def make_halo_laplace_solver(
             in_specs=(spec_pair, spec_pair, spec_pair, spec_pair, spec_pair,
                       spec_pair, P(), P()),
             out_specs=(spec_pair, P()),
-            check_rep=False,
         )
     )
