@@ -144,6 +144,7 @@ class KMCConfig:
     poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
     active_rows_cap: int = -1              # event-source row compaction: -1 auto, 0 full table, >0 fixed
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
+    batch_steps: int = 1                   # supersteps per device dispatch (amortizes dispatch latency)
 
     # ------------------------------------------------------------------
     # derived parameters (reference: input_parser.cpp:391-398)
@@ -184,7 +185,7 @@ _BOOL_KEYS = {
     "solve_heating_local", "perturb_structure",
 }
 _INT_KEYS = {
-    "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq",
+    "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers",

@@ -210,6 +210,18 @@ class Simulation:
         else:
             self._make = make_superstep if fused else make_modular_superstep
         self._superstep = self._make(self.geom, self.params, self.heat)
+        self._msuperstep = None
+        if getattr(cfg, "batch_steps", 1) > 1 and fused and mesh is None:
+            from functools import partial
+
+            from .superstep import multi_superstep_impl
+
+            mj = jax.jit(partial(multi_superstep_impl, n_steps=cfg.batch_steps))
+            self._msuperstep = (
+                lambda st, Vd, icc, t_end: mj(
+                    self.geom, self.params, self.heat, st, Vd, icc, t_end
+                )
+            )
         self._buffer = []
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
@@ -393,6 +405,11 @@ class Simulation:
         kmc_time = 0.0
         summary: Dict = {}
 
+        if self._msuperstep is not None:
+            return self._run_bias_point_batched(
+                Vd, t_end, folder, max_steps=max_steps
+            )
+
         while kmc_time < t_end:
             t_start = time.perf_counter()
             self._log("--------------\n")
@@ -454,6 +471,70 @@ class Simulation:
             if max_steps is not None and step_count >= max_steps:
                 break
             self._log("--------------------------------------\n")
+
+        self.write_snapshot(step_count, folder)
+        self._flush()
+        summary["steps"] = step_count
+        summary["kmc_time"] = kmc_time
+        return summary
+
+    def _run_bias_point_batched(
+        self, Vd: float, t_end: float, folder: str,
+        max_steps: Optional[int] = None,
+    ) -> Dict:
+        """Batched main loop: ``batch_steps`` supersteps per device
+        dispatch, with the time-window and compliance checks running
+        on-device (superstep.multi_superstep_impl).  Logging granularity is
+        unchanged (the stacked per-step metrics are unrolled into the same
+        output.txt schema); snapshots land on batch boundaries."""
+        cfg, params = self.cfg, self.params
+        icc_A = cfg.Icc * 1e-6
+        step_count = 0
+        summary: Dict = {}
+        kmc_time = 0.0
+        next_snap = 0
+
+        while kmc_time < t_end:
+            if max_steps is not None and step_count >= max_steps:
+                break
+            if step_count >= next_snap:
+                self.write_snapshot(step_count, folder)
+                next_snap += max(cfg.log_freq, 1)
+
+            t0 = time.perf_counter()
+            self.state, step_times, ms = self._msuperstep(
+                self.state, Vd, icc_A, t_end
+            )
+            jax.block_until_ready(self.state.element)
+            dt_batch = time.perf_counter() - t0
+
+            active = np.asarray(ms["active"])
+            n_done = int(active.sum())
+            kmc_time = float(self.state.kmc_time)
+            I_macro = float(self.state.I_macro)
+            rows = {
+                k: np.asarray(v) for k, v in ms.items() if k != "active"
+            }
+            for r in range(n_done):
+                self._log("--------------\n")
+                self._log(f"KMC step count: {step_count}\n")
+                self._log(f"V_vcm: {Vd - I_macro * cfg.Rs:g}\n")
+                result = {k: float(v[r]) for k, v in rows.items()}
+                result["Z - calculation time - KMC superstep [s]"] = (
+                    dt_batch / max(n_done, 1)
+                )
+                summary = result
+                self._log(f"KMC time is: {kmc_time:g}\n")
+                for k in sorted(result):
+                    self._log(f"{k}: {result[k]:.10g}\n")
+                self._log("--------------------------------------\n")
+                step_count += 1
+            self._flush()
+            if n_done == 0:
+                break
+            if I_macro > icc_A:
+                self._log("I_macro > Icc, compliance current reached.\n")
+                break
 
         self.write_snapshot(step_count, folder)
         self._flush()

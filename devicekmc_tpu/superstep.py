@@ -51,3 +51,39 @@ def superstep_impl(
             metrics.update(m)
 
     return state, step_time, metrics
+
+
+def multi_superstep_impl(
+    geom: Geometry, params: PhysParams, heat, state: SimState, Vd,
+    Icc_A, t_end, n_steps: int,
+):
+    """Run up to ``n_steps`` supersteps in ONE device dispatch.
+
+    The driver-side loop conditions move on-device: the batch stops early
+    (turns into no-ops) once the KMC clock passes ``t_end`` or the
+    compliance current ``Icc_A`` trips — mirroring the reference main-loop
+    exit conditions (src/kmc_main.cpp:175, 260-267).  Batching amortizes
+    host-device dispatch latency (which on some transports dominates the
+    sub-millisecond superstep) and removes per-step host round-trips, at
+    the cost of logging granularity: metrics come back stacked [n_steps]
+    with an ``active`` mask.
+    """
+    import jax
+
+    def body(carry, _):
+        st, done = carry
+        new_st, step_time, metrics = superstep_impl(geom, params, heat, st, Vd)
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, b, a), new, old
+        )
+        st_out = sel(new_st, st)
+        step_time = jnp.where(done, 0.0, step_time)
+        metrics = {k: v for k, v in metrics.items()}
+        metrics["active"] = ~done
+        done_next = done | (st_out.kmc_time >= t_end) | (st_out.I_macro > Icc_A)
+        return (st_out, done_next), (step_time, metrics)
+
+    (final_state, done), (step_times, metrics_stacked) = jax.lax.scan(
+        body, (state, jnp.asarray(False)), None, length=n_steps
+    )
+    return final_state, step_times, metrics_stacked
