@@ -160,7 +160,7 @@ def main():
                     help="full coupled pipeline (incl. transport+heat) on the "
                          "9030-site reference device instead of the crossbar")
     ap.add_argument("--vd", type=float, default=None)
-    ap.add_argument("--batch", type=int, default=8,
+    ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
                          "1 = classic per-step dispatch)")
@@ -207,9 +207,23 @@ def main():
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
 
     t0 = time.time()
-    for _ in range(args.warmup):
-        state, st, metrics = step(geom, params, heat, state, Vd)
-    jax.block_until_ready(state.element)
+    try:
+        for _ in range(args.warmup):
+            state, st, metrics = step(geom, params, heat, state, Vd)
+        jax.block_until_ready(state.element)
+    except Exception as e:
+        if args.batch > 1:
+            # batched program failed to compile (e.g. XLA scoped-vmem issue
+            # on large scans) — fall back to per-step dispatch
+            print(f"# batch={args.batch} failed ({type(e).__name__}); "
+                  "falling back to per-step", file=sys.stderr)
+            args.batch = 1
+            step = jax.jit(superstep_impl)
+            for _ in range(args.warmup):
+                state, st, metrics = step(geom, params, heat, state, Vd)
+            jax.block_until_ready(state.element)
+        else:
+            raise
     print(f"# warmup ({args.warmup} steps incl. compile): {time.time()-t0:.2f}s",
           file=sys.stderr)
 
