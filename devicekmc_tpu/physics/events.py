@@ -526,10 +526,11 @@ def execute_superstep_incremental(
             valid, row_sums.at[rows_touched].set(new_rvals), row_sums
         )
 
-        # and the touched blocks' sums exactly from row_sums
-        ub = jnp.unique(
-            rows_touched // _BLOCK, size=2 * m + 2, fill_value=0
-        )
+        # and the touched blocks' sums exactly from row_sums.  Duplicate
+        # block ids are fine: every duplicate writes the identical
+        # recomputed value (no jnp.unique — its u32 sort/scan triggers an
+        # XLA scoped-vmem compiler bug under lax.scan).
+        ub = rows_touched // _BLOCK
         new_bvals = row_sums.reshape(n_blocks, _BLOCK)[ub].sum(axis=1)
         block_sums = jnp.where(
             valid, block_sums.at[ub].set(new_bvals), block_sums
