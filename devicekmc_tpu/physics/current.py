@@ -160,12 +160,11 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
         # vacancies are compacted into a driver-grown bucket.  Exact while
         # n_vac <= vcap (n_vac_atoms metric lets the driver redo on
         # overflow).  Cuts the integral from Na^2 to n_vac*n_mp pairs.
+        from ..ops.compact import nonzero_fixed
+
         mp = geom.atom_metalp_idx                     # [n_mp]
-        (vidx,) = jnp.nonzero(anyvac, size=vcap, fill_value=0)
-        vidx = vidx.astype(jnp.int32)
-        v_ok = jnp.arange(vcap, dtype=jnp.int32) < jnp.sum(
-            anyvac, dtype=jnp.int32
-        )
+        vidx, n_vac_c = nonzero_fixed(anyvac, vcap, fill_value=0)
+        v_ok = jnp.arange(vcap, dtype=jnp.int32) < n_vac_c
         s_cv = s[vidx][:, mp]                          # [vcap, n_mp]
         abs_cv = abs_dE[vidx][:, mp]
         elig_cv = eligible[vidx][:, mp] & v_ok[:, None]

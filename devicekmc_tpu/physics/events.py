@@ -414,9 +414,9 @@ def execute_superstep_incremental(
         active = (
             (elem == _D) | (elem == _OD) | (elem == _V)
         )
-        n_active = jnp.sum(active, dtype=jnp.int32)
-        (aidx,) = jnp.nonzero(active, size=cap, fill_value=0)
-        aidx = aidx.astype(jnp.int32)
+        from ..ops.compact import nonzero_fixed
+
+        aidx, n_active = nonzero_fixed(active, cap, fill_value=0)
         slot_ok = jnp.arange(cap, dtype=jnp.int32) < n_active
         # site -> compact row (-1 if not active / fill)
         inv = jnp.full(N + 1, -1, dtype=jnp.int32)

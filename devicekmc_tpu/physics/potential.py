@@ -255,10 +255,10 @@ def _poisson_rows_compact(
     """O(N * n_charged) variant: compact the charged sites into a fixed-size
     buffer first.  Exact when the charged-site count fits in ``cap``
     (checked by the caller via the returned count)."""
+    from ..ops.compact import nonzero_fixed
+
     N = coords.shape[0]
-    (charged_idx,) = jnp.nonzero(charge != 0, size=cap, fill_value=0)
-    charged_idx = charged_idx.astype(jnp.int32)
-    n_charged = jnp.sum(charge != 0, dtype=jnp.int32)
+    charged_idx, n_charged = nonzero_fixed(charge != 0, cap, fill_value=0)
     slot_valid = jnp.arange(cap, dtype=jnp.int32) < n_charged
     c_coords = coords[charged_idx]                       # [cap, 3]
     c_charge = jnp.where(slot_valid, charge[charged_idx], 0).astype(coords.dtype)
