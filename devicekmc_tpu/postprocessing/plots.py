@@ -155,13 +155,21 @@ def show_device(path: str, out: str = "", axis: str = "z"):
 
 
 def extract_data(path: str, out: str = "extracted.npz"):
-    """Scrape all series to npz (extract_data.py writes .mat; npz here)."""
+    """Scrape all series to npz or MATLAB .mat (reference: extract_data.py
+    writes .mat); the format follows the output extension."""
     tr = parse_output(path)
     arrays = {"kmc_time": tr.concat_time(), "voltages": tr.voltages}
     keys = {k for bp in tr.bias_points for k in bp.series}
     for k in keys:
-        arrays[k.replace(" ", "_").replace("[", "").replace("]", "")] = tr.concat(k)
-    np.savez(out, **arrays)
+        name = (k.replace(" ", "_").replace("[", "").replace("]", "")
+                 .replace("-", "_").replace("__", "_"))
+        arrays[name] = tr.concat(k)
+    if out.endswith(".mat"):
+        from scipy.io import savemat
+
+        savemat(out, arrays)
+    else:
+        np.savez(out, **arrays)
     print(f"wrote {out}")
     return arrays
 

@@ -100,3 +100,16 @@ def test_plots_smoke(tmp_path):
     plots.plot_timing(str(p), str(tmp_path / "t.png"))
     arrays = plots.extract_data(str(p), str(tmp_path / "d.npz"))
     assert "kmc_time" in arrays
+
+
+def test_extract_mat(tmp_path):
+    from devicekmc_tpu.postprocessing import plots
+
+    p = tmp_path / "output.txt"
+    p.write_text(SAMPLE)
+    out = str(tmp_path / "d.mat")
+    plots.extract_data(str(p), out)
+    from scipy.io import loadmat
+
+    m = loadmat(out)
+    assert "kmc_time" in m
