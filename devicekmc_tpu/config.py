@@ -144,6 +144,11 @@ class KMCConfig:
     poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
     active_rows_cap: int = -1              # event-source row compaction: -1 auto, 0 full table, >0 fixed
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
+    transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
+                                           # (matrix-free: ELL neighbour part + dense tunnel
+                                           # blocks over {vacancy, interior-metal} only —
+                                           # O(N_atom*max_nn + |active|^2) memory, enables
+                                           # full physics at crossbar scale)
     batch_steps: int = 1                   # supersteps per device dispatch (amortizes dispatch latency)
 
     # ------------------------------------------------------------------
@@ -188,7 +193,7 @@ _INT_KEYS = {
     "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
-    "num_layers",
+    "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",
@@ -201,7 +206,8 @@ _VEC_FLOAT_KEYS = {"lattice", "shifts", "V_switch", "t_switch", "alpha", "A"}
 _VEC_STR_KEYS = {"metals"}
 _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
-    "precision", "selection", "output_dir",
+    "precision", "selection", "output_dir", "event_mode", "heat_solver",
+    "transport",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

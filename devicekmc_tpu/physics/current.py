@@ -213,6 +213,349 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
     return X, loop_G
 
 
+# ----------------------------------------------------------------------------
+# blocked / matrix-free transport (crossbar scale)
+# ----------------------------------------------------------------------------
+#
+# The reference's own comment (src/current_solver_gpu.cu:32) observes that X
+# "separates into a sparse neighbor matrix and a dense tunnel matrix" — and
+# the tunnel-eligible pairs involve ONLY vacancies and interior-metal atoms
+# (t2t, c2t, c2c; src/current_solver.cpp:86-99).  So instead of the dense
+# [N_atom+2]^2 matrix (45 GB f64 at the 75k-atom reference crossbar), the
+# operator splits into
+#
+#   * an ELL neighbour-conductance part over the static atom graph
+#     (geom.atom_neigh_idx, O(N_atom * max_nn)),
+#   * three dense tunnel blocks over the active subset:
+#       - metal_p x metal_p  (c2c, single-shot WKB)    [static atom set]
+#       - vac     x metal_p  (c2t, energy-window int.) [compacted bucket]
+#       - vac     x vac      (t2t, single-shot WKB)
+#   * the two virtual-node rows and the exact f64 diagonal.
+#
+# Every CG matvec is then a few MXU matmuls over the blocks plus one ELL
+# gather — O(N_atom*max_nn + (n_mp + vcap)^2) memory and FLOPs, which fits
+# the full reference crossbar on a single chip.  Entries are assembled in
+# f32 in mixed mode (same accuracy contract as the dense-mixed path:
+# matrix entries carry ~1e-7 relative error; the solve refines in f64).
+
+
+def _dist_blocks(pa, pb, lattice, pbc: bool):
+    """Pairwise distances between two point sets with y/z minimum image."""
+    d = pa[:, None, :] - pb[None, :, :]
+    if pbc:
+        dy = d[..., 1] - jnp.round(d[..., 1] / lattice[1]) * lattice[1]
+        dz = d[..., 2] - jnp.round(d[..., 2] / lattice[2]) * lattice[2]
+        d = jnp.stack([d[..., 0], dy, dz], axis=-1)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
+    """Assemble the blocked transport operator (see module comment above).
+
+    Returns a dict with all pieces needed by :func:`_apply_X_blocks`:
+    negated off-diagonal values (matching the dense convention) and the
+    exact f64 diagonal.
+    """
+    dtype = params.dtype
+    cdtype = jnp.float32 if params.mixed else params.dtype
+    ai = geom.atom_ind
+    Na = geom.N_atom
+    apos = geom.coords[ai].astype(cdtype)
+    aelem = state.element[ai]
+    acharge = state.charge[ai]
+    acb = state.CB_edge[ai].astype(cdtype)
+    lattice = geom.lattice.astype(cdtype)
+
+    high_G = params.high_G * 1e5
+    low_G = params.low_G
+    loop_G = params.high_G * 1e7
+    tol = C.Q_C * 0.01
+    nn = params.nn_dist.astype(cdtype)
+
+    metal = geom.metal_mask_table[aelem]
+    anyvac = aelem == int(Element.VACANCY)
+    cvac = anyvac & (acharge == 0)
+
+    # --- ELL neighbour conductances (exact dtype — they set the diagonal) ---
+    anb = geom.atom_neigh_idx
+    valid = anb >= 0
+    safe = jnp.where(valid, anb, 0)
+    hi = (metal[:, None] & metal[safe]) | (cvac[:, None] & cvac[safe])
+    nb_vals = jnp.where(
+        valid, jnp.where(hi, -high_G, -low_G).astype(dtype), 0.0
+    )
+
+    # --- active subset ---
+    mp = geom.atom_metalp_idx                     # [n_mp] static
+    vcap = params.tunnel_vac_cap
+    if vcap <= 0:
+        raise ValueError("transport='blocked' requires tunnel_vac_cap > 0")
+    from ..ops.compact import nonzero_fixed
+
+    vidx, n_vac = nonzero_fixed(anyvac, vcap, fill_value=0)
+    v_ok = jnp.arange(vcap, dtype=jnp.int32) < jnp.minimum(n_vac, vcap)
+
+    mpos, mcb = apos[mp], acb[mp]
+    vpos, vcb = apos[vidx], acb[vidx]
+
+    prefac = (-(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)).astype(cdtype)
+    qV0 = (C.Q_C * params.V0).astype(cdtype)
+    dE_step = jnp.asarray(C.Q_C * DV_INT, cdtype)
+    ctol = jnp.asarray(tol, cdtype)
+
+    def _single_T(s, abs_dE):
+        E1 = qV0
+        E2 = E1 - abs_dE
+        return jnp.where(
+            E2 > 0,
+            jnp.exp(s * (E1 ** 1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)),
+            jnp.where(E2 < 0, jnp.exp(s * E1 ** 1.5), 0.0),
+        )
+
+    def _window_T(s, abs_dE):
+        # contact->trap occupied-energy-window integration
+        # (src/current_solver.cpp:99-134); identical math to the dense path
+        def int_body(kk, acc):
+            iv = kk * dE_step
+            e1 = qV0 + iv
+            e2 = e1 - abs_dE
+            term = jnp.where(
+                e2 > 0,
+                jnp.exp(s * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
+                jnp.where(e2 < 0, jnp.exp(s * e1 ** 1.5), 0.0),
+            )
+            return acc + jnp.where(iv < abs_dE, term, 0.0)
+
+        return jax.lax.fori_loop(0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(s))
+
+    def _tunnel_block(pa, cba, oka, pb, cbb, okb, kernel):
+        dist = _dist_blocks(pa, pb, lattice, geom.pbc)
+        abs_dE = jnp.abs(cba[:, None] - cbb[None, :])
+        # dist(i,i)=0 < nn_dist, so self-pairs are excluded by ~neighbour
+        elig = (
+            oka[:, None] & okb[None, :] & (abs_dE > ctol) & ~(dist < nn)
+        )
+        safe_abs = jnp.where(elig, abs_dE, 1.0)
+        s = prefac * (dist * 1e-10) / safe_abs
+        return jnp.where(elig, -kernel(s, safe_abs), 0.0).astype(cdtype)
+
+    ones_m = jnp.ones(mp.shape[0], dtype=bool)
+    T_cc = _tunnel_block(mpos, mcb, ones_m, mpos, mcb, ones_m, _single_T)
+    T_vv = _tunnel_block(vpos, vcb, v_ok, vpos, vcb, v_ok, _single_T)
+    T_vm = _tunnel_block(vpos, vcb, v_ok, mpos, mcb, ones_m, _window_T)
+
+    # --- virtual-node rows ---
+    idx = jnp.arange(Na, dtype=jnp.int32)
+    nsi, nge = params.num_source_inj, params.num_ground_ext
+    src_vals = jnp.where(idx < nsi, -high_G, 0.0).astype(dtype)
+    # strict ">" keeps the reference's off-by-one (src/current_solver.cpp:187)
+    gnd_vals = jnp.where(idx > (Na - nge), -high_G, 0.0).astype(dtype)
+
+    # --- exact f64 diagonal = -(off-diagonal row sums) ---
+    row_atoms = jnp.sum(nb_vals, axis=1)
+    row_atoms = row_atoms + gnd_vals + src_vals
+    cc_row = jnp.sum(T_cc, axis=1, dtype=dtype)
+    mv_row = jnp.sum(T_vm, axis=0, dtype=dtype)      # metal rows, vac cols
+    vv_row = jnp.sum(T_vv, axis=1, dtype=dtype)
+    vm_row = jnp.sum(T_vm, axis=1, dtype=dtype)
+    row_atoms = row_atoms.at[mp].add(cc_row + mv_row)
+    row_atoms = row_atoms.at[vidx].add(jnp.where(v_ok, vv_row + vm_row, 0.0))
+    row0 = jnp.sum(gnd_vals) - loop_G
+    row1 = jnp.sum(src_vals) - loop_G
+    diag = -jnp.concatenate(
+        [jnp.stack([row0, row1]), row_atoms]
+    )
+
+    return dict(
+        nb_vals=nb_vals, nb_safe=safe,
+        T_cc=T_cc, T_vv=T_vv, T_vm=T_vm,
+        mp=mp, vidx=vidx, v_ok=v_ok,
+        src_vals=src_vals, gnd_vals=gnd_vals,
+        loop_G=loop_G, diag=diag,
+    )
+
+
+def _apply_X_blocks(blk, x, wd):
+    """y = X @ x for the blocked operator; x is the full [Na+2] vector.
+
+    ``wd`` is the working dtype of the gather/reduction path; the tunnel
+    blocks multiply in their storage dtype with ``wd`` accumulation."""
+    x = x.astype(wd)
+    x0, x1, xa = x[0], x[1], x[2:]
+    nb_vals = blk["nb_vals"].astype(wd)
+    ya = jnp.sum(nb_vals * xa[blk["nb_safe"]], axis=1)
+
+    cd = blk["T_cc"].dtype
+    xm = xa[blk["mp"]].astype(cd)
+    xv = jnp.where(blk["v_ok"], xa[blk["vidx"]], 0.0).astype(cd)
+    y_cc = jnp.matmul(blk["T_cc"], xm, preferred_element_type=wd)
+    y_mv = jnp.matmul(xv, blk["T_vm"], preferred_element_type=wd)
+    y_vv = jnp.matmul(blk["T_vv"], xv, preferred_element_type=wd)
+    y_vm = jnp.matmul(blk["T_vm"], xm, preferred_element_type=wd)
+    ya = ya.at[blk["mp"]].add(y_cc + y_mv)
+    ya = ya.at[blk["vidx"]].add(jnp.where(blk["v_ok"], y_vv + y_vm, 0.0))
+
+    src = blk["src_vals"].astype(wd)
+    gnd = blk["gnd_vals"].astype(wd)
+    loop_G = blk["loop_G"].astype(wd)
+    ya = ya + gnd * x0 + src * x1
+    y0 = jnp.dot(gnd, xa) - loop_G * x1
+    y1 = jnp.dot(src, xa) - loop_G * x0
+    return jnp.concatenate([jnp.stack([y0, y1]), ya]) + blk["diag"].astype(wd) * x
+
+
+def _pdisp_rows_cols(E, ms_r, ms_c, Vd, chunk: int = 2048):
+    """Forward-current dissipation sums for one stored tunnel block.
+
+    Returns (row_contrib [R], col_contrib [C]): the dense rule
+    P_disp[i] += I_neg(i,j) * (Ms_j - Ms_i) evaluated for the stored
+    orientation AND its transpose in one sweep (the transpose flips the
+    sign of I_cal, src/current_solver.cpp:319-337), chunked over rows so
+    no second |E|-sized array is materialised."""
+    R = E.shape[0]
+    pad = (-R) % chunk
+    E_p = jnp.pad(E, ((0, pad), (0, 0)))
+    ms_r_p = jnp.pad(ms_r, (0, pad))
+
+    def body(carry, b0):
+        col_acc = carry
+        rows = jax.lax.dynamic_slice(
+            E_p, (b0, jnp.int32(0)), (chunk, E.shape[1])
+        ).astype(ms_c.dtype)
+        ms_b = jax.lax.dynamic_slice(ms_r_p, (b0,), (chunk,))
+        dM = ms_b[:, None] - ms_c[None, :]
+        I_cal = rows * dM
+        fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+        row_c = jnp.sum(jnp.where(fwd, -I_cal, 0.0) * (-dM), axis=1)
+        # transpose orientation: I_cal' = -I_cal, displacement = +dM
+        fwd_t = ((I_cal > 0) & (Vd > 0)) | ((I_cal < 0) & (Vd < 0))
+        col_acc = col_acc + jnp.sum(jnp.where(fwd_t, I_cal, 0.0) * dM, axis=0)
+        return col_acc, row_c
+
+    n_blocks = (R + pad) // chunk
+    col_contrib, row_chunks = jax.lax.scan(
+        body,
+        jnp.zeros(E.shape[1], dtype=ms_c.dtype),
+        jnp.arange(n_blocks, dtype=jnp.int32) * chunk,
+    )
+    return row_chunks.reshape(-1)[:R], col_contrib
+
+
+def update_power_blocked(
+    geom: Geometry,
+    params: PhysParams,
+    state: SimState,
+    Vd,
+    cg_tol: float = 1e-8,
+    cg_maxiter: int = 20000,
+) -> Tuple[SimState, Dict]:
+    """update_power with the blocked matrix-free operator (transport="blocked").
+
+    Same physics and outputs as the dense path (Device::updatePower,
+    src/current_solver.cpp:4-385); scales to the full reference crossbar
+    (75k atoms) where the dense matrix cannot be materialised."""
+    dtype = params.dtype
+    Na = geom.N_atom
+    Nsub = Na + 1
+    nsi = params.num_source_inj
+
+    blk = assemble_X_blocks(geom, params, state)
+    loop_G = blk["loop_G"]
+    diag = blk["diag"]
+
+    rhs = jnp.zeros(Nsub, dtype=dtype)
+    rhs = rhs.at[0].set(-loop_G * Vd)
+    rhs = rhs.at[1].set(loop_G * Vd)
+
+    def apply_sub(x_sub, wd):
+        x_full = jnp.concatenate([x_sub, jnp.zeros(1, dtype=x_sub.dtype)])
+        return _apply_X_blocks(blk, x_full, wd)[:Nsub]
+
+    d = diag[:Nsub]
+    if params.mixed:
+        # Jacobi-scaled f32 CG + f64 iterative refinement — the same scheme
+        # (and measured accuracy, ~4e-7 on I) as the dense mixed path.
+        from ..ops.cg import cg_solve_mixed
+
+        dsi = 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0))
+        dsi32 = dsi.astype(jnp.float32)
+        b_s = rhs * dsi
+        y0 = state.virtual_potentials[:Nsub] / dsi
+        res = cg_solve_mixed(
+            lambda y: dsi * apply_sub(dsi * y, dtype),
+            lambda y: (dsi32 * apply_sub(dsi32 * y, jnp.float32)).astype(
+                jnp.float32
+            ),
+            b_s, x0=y0,
+            tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
+            maxiter=cg_maxiter,
+        )
+        v = res.x * dsi
+        cg_iters = res.iters
+    else:
+        res = cg_solve(
+            lambda x: apply_sub(x, dtype), rhs,
+            x0=state.virtual_potentials[:Nsub],
+            diag=d, tol=cg_tol, maxiter=cg_maxiter, criterion="pre",
+        )
+        v = res.x
+        cg_iters = res.iters
+
+    contact_drop = jnp.abs(v[nsi] - Vd)
+
+    M = jnp.concatenate([v * G0, jnp.zeros(1, dtype=dtype)])  # [Na+2]
+    Matoms = M[2:]
+    I_macro = jnp.sum(blk["gnd_vals"] * (M[0] - Matoms))
+
+    # --- dissipated power, block by block ---
+    min_V = jnp.min(Matoms)
+    Ms = Matoms + jnp.abs(min_V)
+
+    dM_nb = Ms[:, None] - Ms[blk["nb_safe"]]
+    I_cal = blk["nb_vals"] * dM_nb
+    fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+    P_disp = jnp.sum(jnp.where(fwd, -I_cal, 0.0) * (-dM_nb), axis=1)
+
+    ms_m = Ms[blk["mp"]]
+    ms_v = jnp.where(blk["v_ok"], Ms[blk["vidx"]], 0.0)
+    cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
+    vv_r, _ = _pdisp_rows_cols(blk["T_vv"], ms_v, ms_v, Vd)
+    vm_r, vm_c = _pdisp_rows_cols(blk["T_vm"], ms_v, ms_m, Vd)
+    P_disp = P_disp.at[blk["mp"]].add(cc_r + vm_c)
+    P_disp = P_disp.at[blk["vidx"]].add(
+        jnp.where(blk["v_ok"], vv_r + vm_r, 0.0)
+    )
+
+    idx = jnp.arange(Na, dtype=jnp.int32)
+    metal = geom.metal_mask_table[state.element[geom.atom_ind]]
+    in_range = (idx >= nsi) & (idx < Na - nsi)
+    alpha = jnp.where(metal, 0.0, 1.0)
+    atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
+
+    power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
+    P_tot = jnp.sum(power)
+
+    new_vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
+    new_state = state.replace(
+        power=power,
+        I_macro=I_macro.astype(dtype),
+        P_tot=P_tot,
+        virtual_potentials=new_vp,
+    )
+    n_vac_atoms = jnp.sum(
+        state.element[geom.atom_ind] == int(Element.VACANCY), dtype=jnp.int32
+    )
+    metrics = {
+        "n_vac_atoms": n_vac_atoms,
+        "Current [uA]": I_macro * 1e6,
+        "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
+        "Total dissipated power [mW]": P_tot * 1e3,
+        "cg_iters_power": cg_iters,
+        "contact_potential_drop": contact_drop,
+    }
+    return new_state, metrics
+
+
 def update_power(
     geom: Geometry,
     params: PhysParams,
@@ -222,6 +565,10 @@ def update_power(
     cg_tol: float = 1e-8,
     cg_maxiter: int = 20000,
 ) -> Tuple[SimState, Dict]:
+    if params.transport == "blocked" and method != "direct":
+        return update_power_blocked(
+            geom, params, state, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter
+        )
     dtype = params.dtype
     Na = geom.N_atom
     Nsub = Na + 1

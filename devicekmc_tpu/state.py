@@ -59,6 +59,10 @@ class Geometry:
     rev_slot: Any        # [N,max_nn] int32: slot of i within row neigh_idx[i,s]
                          # (reverse edge; -1 at pads) — used by the
                          # incremental event loop's O(max_nn) conflict zeroing
+    atom_neigh_idx: Any  # [N_atom,max_nn] int32: atom-index neighbours of
+                         # each atom (site neighbours that are atom sites),
+                         # pad -1 — the sparse (neighbour-conductance) part
+                         # of the transport matrix in blocked/matrix-free mode
 
     # contact / interior site masks.  Contacts are the first/last
     # num_atoms_first_layer *real* sites (the solvers' positional convention,
@@ -121,6 +125,7 @@ class PhysParams:
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
     active_rows_cap: int = struct.field(pytree_node=False, default=0)
     tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
+    transport: str = struct.field(pytree_node=False, default="dense")
     mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
@@ -237,6 +242,17 @@ def build_geometry(
     )
     atom_metalp_idx = np.nonzero(metalp)[0].astype(np.int32)
 
+    # atom-level neighbour graph: site neighbours restricted to atom sites,
+    # re-indexed into atom slots (static — events never change the atom set)
+    site_to_atom = np.full(n, -1, dtype=np.int32)
+    site_to_atom[atom_ind] = np.arange(na, dtype=np.int32)
+    anb_sites = neigh_idx[atom_ind]
+    atom_neigh_idx = np.where(
+        anb_sites >= 0,
+        site_to_atom[np.where(anb_sites >= 0, anb_sites, 0)],
+        np.int32(-1),
+    ).astype(np.int32)
+
     # reverse-edge slots: rev_slot[i,s] = t such that neigh_idx[j,t] == i for
     # j = neigh_idx[i,s].  Exists because the neighbour relation is symmetric;
     # rows are ascending so t = #(entries of row j < i).
@@ -268,6 +284,7 @@ def build_geometry(
         site_layer=jnp.asarray(site_layer, dtype=jnp.int32),
         atom_metalp_idx=jnp.asarray(atom_metalp_idx),
         rev_slot=jnp.asarray(rev_slot),
+        atom_neigh_idx=jnp.asarray(atom_neigh_idx),
         atom_ind=jnp.asarray(atom_ind),
         metal_mask_table=jnp.asarray(metal_table),
         layer_E=jnp.asarray(layer_E, dtype=dtype),
@@ -286,6 +303,10 @@ def build_geometry(
 
 
 def build_params(cfg: KMCConfig) -> PhysParams:
+    if cfg.transport not in ("dense", "blocked"):
+        raise ValueError(
+            f"unknown transport={cfg.transport!r}; expected 'dense' or 'blocked'"
+        )
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     s = lambda x: jnp.asarray(x, dtype=dtype)
     return PhysParams(
@@ -327,6 +348,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         poisson_compact_cap=cfg.poisson_compact_cap,
         active_rows_cap=max(cfg.active_rows_cap, 0),
         tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
+        transport=cfg.transport,
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )

@@ -277,3 +277,63 @@ def test_mixed_scaled_cg_transport_matches_direct(small_sim):
         float(st_m.I_macro), float(st_d.I_macro), rtol=2e-4
     )
     assert int(mm["cg_iters_power"]) < 500
+
+
+def test_blocked_operator_matches_dense_X(small_sim):
+    """The blocked matrix-free operator (ELL neighbour part + tunnel blocks
+    over {vacancy, metal_p}) applied to random vectors == dense X @ x."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(transport="blocked", tunnel_vac_cap=max(16, n_vac + 4))
+    X, _ = current_mod.assemble_X(geom, params, state, Vd)
+    blk = current_mod.assemble_X_blocks(geom, pb, state)
+    # diagonal parity
+    np.testing.assert_allclose(
+        np.asarray(blk["diag"]), np.diagonal(np.asarray(X)),
+        rtol=1e-12, atol=0,
+    )
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        x = rng.standard_normal(geom.N_atom + 2)
+        y_dense = np.asarray(X) @ x
+        y_blk = np.asarray(
+            current_mod._apply_X_blocks(blk, jnp.asarray(x), jnp.float64)
+        )
+        scale = np.abs(y_dense).max()
+        np.testing.assert_allclose(y_blk, y_dense, rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_blocked_update_power_matches_dense(small_sim):
+    """End-to-end update_power with transport='blocked' == dense direct."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    st_d, md = current_mod.update_power(geom, params, state, Vd, method="direct")
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(transport="blocked", tunnel_vac_cap=max(16, n_vac + 4))
+    st_b, mb = current_mod.update_power(geom, pb, state, Vd, cg_tol=1e-13)
+    np.testing.assert_allclose(
+        float(st_b.I_macro), float(st_d.I_macro), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_b.power), np.asarray(st_d.power),
+        rtol=1e-5, atol=1e-9 * float(np.abs(np.asarray(st_d.power)).max() + 1e-300),
+    )
+    assert int(mb["n_vac_atoms"]) == n_vac
+
+
+def test_blocked_update_power_mixed(small_sim):
+    """Mixed-precision blocked transport (f32 blocks + scaled-IR CG) stays
+    within the dense-mixed accuracy envelope."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    st_d, _ = current_mod.update_power(geom, params, state, Vd, method="direct")
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(
+        transport="blocked", tunnel_vac_cap=max(16, n_vac + 4), mixed=True
+    )
+    st_b, mb = current_mod.update_power(geom, pb, state, Vd)
+    np.testing.assert_allclose(
+        float(st_b.I_macro), float(st_d.I_macro), rtol=2e-4
+    )
+    assert int(mb["cg_iters_power"]) < 2000
