@@ -88,6 +88,38 @@ def build_crossbar_sim(precision: str):
     return geom, params, heat, state
 
 
+def build_full_crossbar_sim(precision: str, vd: float):
+    """FULL physics (charge + potentials + KMC + transport + heat) on the
+    75,360-atom reference crossbar — beyond the reference's demonstrated
+    envelope (its committed crossbar timing runs exclude the current solve;
+    the dense X matrix would need 45 GB).  Uses the blocked matrix-free
+    transport operator."""
+    from devicekmc_tpu.physics import heat as heat_mod
+    from devicekmc_tpu.state import build_params, init_state
+
+    geom, params, heat, state = build_crossbar_sim(precision)
+    # re-derive params with the transport/heat modules on
+    from devicekmc_tpu.config import KMCConfig
+
+    cfg = KMCConfig(
+        lattice=[108.98, 102.3, 102.3], nn_dist=3.5, pbc=False,
+        num_atoms_first_layer=144, num_layers_contact=10,
+        num_atoms_contact=11520,
+        solve_potential=True, solve_current=True, solve_heating_global=True,
+        perturb_structure=True, precision=precision,
+        poisson_compact_cap=256, active_rows_cap=0,
+        solver_tol=1e-8,
+        transport="blocked",
+        tunnel_vac_cap=256,          # forming run starts vacancy-free
+        # window count must cover the CB-edge spread (~Vd + band offsets);
+        # checked every step via the tunnel_int_steps_needed metric
+        tunnel_int_steps=max(256, int(100 * (abs(vd) + 1.5))),
+        A=102.3e-10 * 102.3e-10,
+    )
+    params = build_params(cfg)
+    return geom, params, heat_mod.empty_heat_model(params), state, cfg
+
+
 TEST1_DIR = "/root/reference/depreciated/tests/1-potential"
 
 
@@ -159,6 +191,9 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="full coupled pipeline (incl. transport+heat) on the "
                          "9030-site reference device instead of the crossbar")
+    ap.add_argument("--full-crossbar", action="store_true",
+                    help="full coupled pipeline on the 75,360-atom crossbar "
+                         "via the blocked matrix-free transport operator")
     ap.add_argument("--vd", type=float, default=None)
     ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
@@ -171,7 +206,12 @@ def main():
 
     from devicekmc_tpu.superstep import superstep_impl
 
-    if args.full:
+    if args.full_crossbar:
+        vd0 = args.vd if args.vd is not None else 1.0
+        geom, params, heat, state, _ = build_full_crossbar_sim(
+            args.precision, vd0
+        )
+    elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)
     elif args.synthetic or not os.path.exists(CROSSBAR_XYZ):
         geom, params, _, heat, state = build_synthetic_sim(
@@ -193,23 +233,28 @@ def main():
     if args.batch > 1:
         mstep = jax.jit(partial(multi_superstep_impl, n_steps=args.batch))
 
-        def step(geom, params, heat, state, Vd):
+        def step(geom, params, heat, state, Vd, cc=None):
             st, dts, ms = mstep(geom, params, heat, state, Vd,
-                                jnp.inf, jnp.inf)
+                                jnp.inf, jnp.inf, cc=cc)
             last = {k: v[-1] for k, v in ms.items() if k != "active"}
             last["batch_events"] = ms["n_events"].sum()
             return st, dts[-1], last
     else:
         step = jax.jit(superstep_impl)
     Vd = args.vd if args.vd is not None else (5.0 if args.full else 1.0)
-    if args.full:
+    cc = None
+    if args.full or args.full_crossbar:
         from devicekmc_tpu.physics.potential import solve_cb_edge
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
+        if params.transport == "blocked":
+            # per-bias-point cache of the metal_p x metal_p tunnel block
+            from devicekmc_tpu.physics.current import assemble_cc_block
+            cc = jax.jit(assemble_cc_block)(geom, params, state)
 
     t0 = time.time()
     try:
         for _ in range(args.warmup):
-            state, st, metrics = step(geom, params, heat, state, Vd)
+            state, st, metrics = step(geom, params, heat, state, Vd, cc)
         jax.block_until_ready(state.element)
     except Exception as e:
         if args.batch > 1:
@@ -220,7 +265,7 @@ def main():
             args.batch = 1
             step = jax.jit(superstep_impl)
             for _ in range(args.warmup):
-                state, st, metrics = step(geom, params, heat, state, Vd)
+                state, st, metrics = step(geom, params, heat, state, Vd, cc)
             jax.block_until_ready(state.element)
         else:
             raise
@@ -231,28 +276,48 @@ def main():
     total_events = 0
     for i in range(args.steps):
         t0 = time.perf_counter()
-        state, st, metrics = step(geom, params, heat, state, Vd)
+        state, st, metrics = step(geom, params, heat, state, Vd, cc)
         jax.block_until_ready(state.element)
         dt = time.perf_counter() - t0
         times.append(dt)
         total_events += int(metrics.get("batch_events", metrics["n_events"]))
         if args.verbose:
+            extra = ""
+            if "cg_iters_power" in metrics:
+                extra += f", cg_pow={int(metrics['cg_iters_power'])}"
+            if "tunnel_int_steps_needed" in metrics:
+                extra += f", int_steps={int(metrics['tunnel_int_steps_needed'])}"
+            if "n_vac_atoms" in metrics:
+                extra += f", vac={int(metrics['n_vac_atoms'])}"
             print(f"# step {i}: {dt:.4f}s, events={int(metrics['n_events'])}, "
                   f"cg={int(metrics['cg_iters_boundary'])}, "
-                  f"charged={int(metrics.get('n_charged_sites', -1))}",
+                  f"charged={int(metrics.get('n_charged_sites', -1))}" + extra,
                   file=sys.stderr)
         nch = metrics.get("n_charged_sites")
         if nch is not None and int(nch) >= params.poisson_compact_cap:
             print("# WARNING: charged sites reached compaction cap",
+                  file=sys.stderr)
+        tin = metrics.get("tunnel_int_steps_needed")
+        if tin is not None and int(tin) > params.tunnel_int_steps:
+            print(f"# WARNING: tunnel window needs {int(tin)} steps > "
+                  f"tunnel_int_steps={params.tunnel_int_steps} (truncated)",
+                  file=sys.stderr)
+        nva = metrics.get("n_vac_atoms")
+        if nva is not None and 0 < params.tunnel_vac_cap <= int(nva):
+            print("# WARNING: vacancy count reached tunnel_vac_cap",
                   file=sys.stderr)
 
     median = float(np.median(times))
     steps_per_s = args.batch / median
     print(f"# median dispatch {median:.4f}s ({args.batch} supersteps), mean {np.mean(times):.4f}s, "
           f"{total_events} events in {args.steps} steps", file=sys.stderr)
+    metric_name = "kmc_supersteps_per_s"
+    if args.full:
+        metric_name = "full_pipeline_supersteps_per_s"
+    elif args.full_crossbar:
+        metric_name = "full_crossbar_supersteps_per_s"
     print(json.dumps({
-        "metric": "kmc_supersteps_per_s" if not args.full
-                  else "full_pipeline_supersteps_per_s",
+        "metric": metric_name,
         "value": round(steps_per_s, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),

@@ -144,6 +144,8 @@ class KMCConfig:
     poisson_compact_cap: int = -1          # -1 auto-bucket; 0 dense O(N^2); >0 fixed compaction size
     active_rows_cap: int = -1              # event-source row compaction: -1 auto, 0 full table, >0 fixed
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
+    tunnel_int_steps: int = 1024           # energy-window integration trip count
+                                           # (exact while >= 100 * max CB-edge spread [V])
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
                                            # blocks over {vacancy, interior-metal} only —
@@ -194,6 +196,7 @@ _INT_KEYS = {
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
+    "tunnel_int_steps",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",

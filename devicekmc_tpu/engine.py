@@ -72,8 +72,13 @@ def _phase_events(geom, params, state):
 
 
 @jax.jit
-def _phase_power(geom, params, state, Vd):
-    return current_mod.update_power(geom, params, state, Vd)
+def _phase_power(geom, params, state, Vd, cc=None):
+    return current_mod.update_power(geom, params, state, Vd, cc=cc)
+
+
+@jax.jit
+def _phase_cc_block(geom, params, state):
+    return current_mod.assemble_cc_block(geom, params, state)
 
 
 @jax.jit
@@ -92,8 +97,8 @@ def make_superstep(geom: Geometry, params: PhysParams, heat):
 
     jitted = jax.jit(superstep_impl)
 
-    def superstep(state: SimState, Vd):
-        return jitted(geom, params, heat, state, Vd)
+    def superstep(state: SimState, Vd, cc=None):
+        return jitted(geom, params, heat, state, Vd, cc)
 
     return superstep
 
@@ -103,7 +108,7 @@ def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
     reference's per-module timing keys (src/kmc_main.cpp:272-277,
     consumed by the timing postprocessing)."""
 
-    def superstep(state: SimState, Vd):
+    def superstep(state: SimState, Vd, cc=None):
         metrics: Dict = {}
 
         def timed(key, fn, *a):
@@ -136,7 +141,7 @@ def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
 
         if params.solve_current:
             (state, m) = timed(
-                "dissipated power", _phase_power, geom, params, state, Vd
+                "dissipated power", _phase_power, geom, params, state, Vd, cc
             )
             metrics.update(m)
             if params.solve_heating_global or params.solve_heating_local:
@@ -219,10 +224,14 @@ class Simulation:
             mj = jax.jit(partial(multi_superstep_impl, n_steps=cfg.batch_steps))
             self._msuperstep = (
                 lambda st, Vd, icc, t_end: mj(
-                    self.geom, self.params, self.heat, st, Vd, icc, t_end
+                    self.geom, self.params, self.heat, st, Vd, icc, t_end,
+                    cc=self._cc,
                 )
             )
         self._buffer = []
+        # per-bias-point metal-block cache for the blocked transport
+        # operator (CB edges are constant within a bias point)
+        self._cc = None
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
     def _auto_poisson_cap(self) -> int:
@@ -392,6 +401,8 @@ class Simulation:
                 f"Z - calculation time - CB edge [s]: "
                 f"{time.perf_counter() - t0:.6g}\n"
             )
+            if params.transport == "blocked":
+                self._cc = _phase_cc_block(self.geom, params, self.state)
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)
@@ -421,13 +432,13 @@ class Simulation:
                 self.write_snapshot(step_count, folder)
 
             prev_state = self.state
-            self.state, step_time, metrics = self._superstep(self.state, Vd)
+            self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
             grow_a = self._maybe_grow_active_cap(metrics)
             grow_t = self._maybe_grow_tunnel_cap(metrics)
             if grow_a or grow_t:
                 # a bucket overflowed: redo the step with the larger cap
                 self.state = prev_state
-                self.state, step_time, metrics = self._superstep(self.state, Vd)
+                self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
             step_time = float(step_time)
             jax.block_until_ready(self.state.element)
             dt_step = time.perf_counter() - t_start

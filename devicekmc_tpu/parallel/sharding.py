@@ -111,9 +111,9 @@ def make_sharded_superstep(
 
     jitted = jax.jit(superstep_impl)
 
-    def superstep(state, Vd):
+    def superstep(state, Vd, cc=None):
         with mesh:
-            return jitted(geom, params, heat, state, Vd)
+            return jitted(geom, params, heat, state, Vd, cc)
 
     return superstep
 

@@ -58,7 +58,12 @@ DV_INT = 0.01
 
 #: static cap on energy-window integration steps; steps beyond the actual
 #: window are masked out.  ceil(max |CB drop| [eV] / DV_INT) must fit.
+#: (default of params.tunnel_int_steps — configurable per run)
 MAX_TUNNEL_STEPS = 1024
+
+#: row-chunking threshold (elements) for tunnel-block assembly; blocks
+#: bigger than this are built with lax.map over row chunks
+TUNNEL_CHUNK_ELEMS = 1 << 25
 
 
 def _pairwise_dist_atoms(coords, lattice, pbc: bool):
@@ -150,7 +155,7 @@ def assemble_X(geom: Geometry, params: PhysParams, state: SimState, Vd):
             return acc + jnp.where(iv < abs_dE_, term, 0.0)
 
         return jax.lax.fori_loop(
-            0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(s_)
+            0, params.tunnel_int_steps, int_body, jnp.zeros_like(s_)
         )
 
     vcap = params.tunnel_vac_cap
@@ -249,12 +254,27 @@ def _dist_blocks(pa, pb, lattice, pbc: bool):
     return jnp.sqrt(jnp.sum(d * d, axis=-1))
 
 
-def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
+def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
+    """The metal_p x metal_p (c2c) tunnel block alone.
+
+    Within a bias point the CB edges — and therefore this (largest) block —
+    are constant: the driver assembles it once per bias point and passes it
+    to the superstep as ``cc``, instead of recomputing ~n_mp^2 WKB
+    exponentials every superstep."""
+    blk = assemble_X_blocks(geom, params, state, _cc_only=True)
+    return blk["T_cc"]
+
+
+def assemble_X_blocks(
+    geom: Geometry, params: PhysParams, state: SimState,
+    cc=None, _cc_only: bool = False,
+):
     """Assemble the blocked transport operator (see module comment above).
 
     Returns a dict with all pieces needed by :func:`_apply_X_blocks`:
     negated off-diagonal values (matching the dense convention) and the
-    exact f64 diagonal.
+    exact f64 diagonal.  ``cc``: optional precomputed metal_p x metal_p
+    block from :func:`assemble_cc_block` (valid within one bias point).
     """
     dtype = params.dtype
     cdtype = jnp.float32 if params.mixed else params.dtype
@@ -314,7 +334,9 @@ def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
 
     def _window_T(s, abs_dE):
         # contact->trap occupied-energy-window integration
-        # (src/current_solver.cpp:99-134); identical math to the dense path
+        # (src/current_solver.cpp:99-134); identical math to the dense path.
+        # Trip count is static (params.tunnel_int_steps); exactness requires
+        # >= ceil(max |dE| / dE_step) — emitted as a metric for the driver.
         def int_body(kk, acc):
             iv = kk * dE_step
             e1 = qV0 + iv
@@ -326,23 +348,63 @@ def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
             )
             return acc + jnp.where(iv < abs_dE, term, 0.0)
 
-        return jax.lax.fori_loop(0, MAX_TUNNEL_STEPS, int_body, jnp.zeros_like(s))
+        return jax.lax.fori_loop(
+            0, params.tunnel_int_steps, int_body, jnp.zeros_like(s)
+        )
 
     def _tunnel_block(pa, cba, oka, pb, cbb, okb, kernel):
-        dist = _dist_blocks(pa, pb, lattice, geom.pbc)
-        abs_dE = jnp.abs(cba[:, None] - cbb[None, :])
-        # dist(i,i)=0 < nn_dist, so self-pairs are excluded by ~neighbour
-        elig = (
-            oka[:, None] & okb[None, :] & (abs_dE > ctol) & ~(dist < nn)
+        C_cols = pb.shape[0]
+
+        def rows(pa_c, cba_c, oka_c):
+            dist = _dist_blocks(pa_c, pb, lattice, geom.pbc)
+            abs_dE = jnp.abs(cba_c[:, None] - cbb[None, :])
+            # dist(i,i)=0 < nn_dist, so self-pairs are excluded by ~neighbour
+            elig = (
+                oka_c[:, None] & okb[None, :] & (abs_dE > ctol) & ~(dist < nn)
+            )
+            safe_abs = jnp.where(elig, abs_dE, 1.0)
+            s = prefac * (dist * 1e-10) / safe_abs
+            return jnp.where(elig, -kernel(s, safe_abs), 0.0).astype(cdtype)
+
+        R = pa.shape[0]
+        if R * C_cols <= TUNNEL_CHUNK_ELEMS:
+            return rows(pa, cba, oka)
+        # chunk big blocks over rows so elementwise intermediates stay
+        # bounded (~128 MB) instead of several copies of a multi-GB block
+        chunk = max(8, (TUNNEL_CHUNK_ELEMS // C_cols) // 8 * 8)
+        pad = (-R) % chunk
+        pa_p = jnp.pad(pa, ((0, pad), (0, 0)))
+        cba_p = jnp.pad(cba, (0, pad))
+        oka_p = jnp.pad(oka, (0, pad))        # pad rows: ok=False -> zeros
+        n_ch = (R + pad) // chunk
+        out = jax.lax.map(
+            lambda i: rows(
+                jax.lax.dynamic_slice(pa_p, (i * chunk, jnp.int32(0)), (chunk, 3)),
+                jax.lax.dynamic_slice(cba_p, (i * chunk,), (chunk,)),
+                jax.lax.dynamic_slice(oka_p, (i * chunk,), (chunk,)),
+            ),
+            jnp.arange(n_ch, dtype=jnp.int32),
         )
-        safe_abs = jnp.where(elig, abs_dE, 1.0)
-        s = prefac * (dist * 1e-10) / safe_abs
-        return jnp.where(elig, -kernel(s, safe_abs), 0.0).astype(cdtype)
+        return out.reshape(-1, C_cols)[:R]
 
     ones_m = jnp.ones(mp.shape[0], dtype=bool)
-    T_cc = _tunnel_block(mpos, mcb, ones_m, mpos, mcb, ones_m, _single_T)
+    if cc is not None:
+        T_cc = cc.astype(cdtype)
+    else:
+        T_cc = _tunnel_block(mpos, mcb, ones_m, mpos, mcb, ones_m, _single_T)
+    if _cc_only:
+        return dict(T_cc=T_cc)
     T_vv = _tunnel_block(vpos, vcb, v_ok, vpos, vcb, v_ok, _single_T)
     T_vm = _tunnel_block(vpos, vcb, v_ok, mpos, mcb, ones_m, _window_T)
+
+    # exactness check for the static integration trip count: the number of
+    # dE_step windows the widest eligible (vac, metal_p) pair needs
+    dist_vm = _dist_blocks(vpos, mpos, lattice, geom.pbc)
+    abs_vm = jnp.abs(vcb[:, None] - mcb[None, :])
+    elig_vm = v_ok[:, None] & (abs_vm > ctol) & ~(dist_vm < nn)
+    int_steps_needed = jnp.ceil(
+        jnp.max(jnp.where(elig_vm, abs_vm, 0.0)) / dE_step
+    ).astype(jnp.int32)
 
     # --- virtual-node rows ---
     idx = jnp.arange(Na, dtype=jnp.int32)
@@ -354,10 +416,12 @@ def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
     # --- exact f64 diagonal = -(off-diagonal row sums) ---
     row_atoms = jnp.sum(nb_vals, axis=1)
     row_atoms = row_atoms + gnd_vals + src_vals
-    cc_row = jnp.sum(T_cc, axis=1, dtype=dtype)
-    mv_row = jnp.sum(T_vm, axis=0, dtype=dtype)      # metal rows, vac cols
-    vv_row = jnp.sum(T_vv, axis=1, dtype=dtype)
-    vm_row = jnp.sum(T_vm, axis=1, dtype=dtype)
+    # row sums in storage dtype, cast after (a dtype= accumulator would
+    # materialise an f64-converted copy of the multi-GB cc block)
+    cc_row = jnp.sum(T_cc, axis=1).astype(dtype)
+    mv_row = jnp.sum(T_vm, axis=0).astype(dtype)     # metal rows, vac cols
+    vv_row = jnp.sum(T_vv, axis=1).astype(dtype)
+    vm_row = jnp.sum(T_vm, axis=1).astype(dtype)
     row_atoms = row_atoms.at[mp].add(cc_row + mv_row)
     row_atoms = row_atoms.at[vidx].add(jnp.where(v_ok, vv_row + vm_row, 0.0))
     row0 = jnp.sum(gnd_vals) - loop_G
@@ -372,6 +436,7 @@ def assemble_X_blocks(geom: Geometry, params: PhysParams, state: SimState):
         mp=mp, vidx=vidx, v_ok=v_ok,
         src_vals=src_vals, gnd_vals=gnd_vals,
         loop_G=loop_G, diag=diag,
+        int_steps_needed=int_steps_needed,
     )
 
 
@@ -385,13 +450,18 @@ def _apply_X_blocks(blk, x, wd):
     nb_vals = blk["nb_vals"].astype(wd)
     ya = jnp.sum(nb_vals * xa[blk["nb_safe"]], axis=1)
 
+    # tunnel matmuls run in the blocks' storage dtype (f32 in mixed mode;
+    # promoting to f64 would materialise multi-GB converted copies).  The
+    # f32-accumulation error (~1e-5 relative of the TUNNEL term only) is
+    # negligible against the entries' own f32 assembly error and the
+    # high_G-dominated row magnitudes.
     cd = blk["T_cc"].dtype
     xm = xa[blk["mp"]].astype(cd)
     xv = jnp.where(blk["v_ok"], xa[blk["vidx"]], 0.0).astype(cd)
-    y_cc = jnp.matmul(blk["T_cc"], xm, preferred_element_type=wd)
-    y_mv = jnp.matmul(xv, blk["T_vm"], preferred_element_type=wd)
-    y_vv = jnp.matmul(blk["T_vv"], xv, preferred_element_type=wd)
-    y_vm = jnp.matmul(blk["T_vm"], xm, preferred_element_type=wd)
+    y_cc = jnp.matmul(blk["T_cc"], xm).astype(wd)
+    y_mv = jnp.matmul(xv, blk["T_vm"]).astype(wd)
+    y_vv = jnp.matmul(blk["T_vv"], xv).astype(wd)
+    y_vm = jnp.matmul(blk["T_vm"], xm).astype(wd)
     ya = ya.at[blk["mp"]].add(y_cc + y_mv)
     ya = ya.at[blk["vidx"]].add(jnp.where(blk["v_ok"], y_vv + y_vm, 0.0))
 
@@ -448,18 +518,20 @@ def update_power_blocked(
     Vd,
     cg_tol: float = 1e-8,
     cg_maxiter: int = 20000,
+    cc=None,
 ) -> Tuple[SimState, Dict]:
     """update_power with the blocked matrix-free operator (transport="blocked").
 
     Same physics and outputs as the dense path (Device::updatePower,
     src/current_solver.cpp:4-385); scales to the full reference crossbar
-    (75k atoms) where the dense matrix cannot be materialised."""
+    (75k atoms) where the dense matrix cannot be materialised.  ``cc``:
+    optional per-bias-point metal block from :func:`assemble_cc_block`."""
     dtype = params.dtype
     Na = geom.N_atom
     Nsub = Na + 1
     nsi = params.num_source_inj
 
-    blk = assemble_X_blocks(geom, params, state)
+    blk = assemble_X_blocks(geom, params, state, cc=cc)
     loop_G = blk["loop_G"]
     diag = blk["diag"]
 
@@ -552,6 +624,7 @@ def update_power_blocked(
         "Total dissipated power [mW]": P_tot * 1e3,
         "cg_iters_power": cg_iters,
         "contact_potential_drop": contact_drop,
+        "tunnel_int_steps_needed": blk["int_steps_needed"],
     }
     return new_state, metrics
 
@@ -564,10 +637,12 @@ def update_power(
     method: str = "cg",
     cg_tol: float = 1e-8,
     cg_maxiter: int = 20000,
+    cc=None,
 ) -> Tuple[SimState, Dict]:
     if params.transport == "blocked" and method != "direct":
         return update_power_blocked(
-            geom, params, state, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter
+            geom, params, state, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            cc=cc,
         )
     dtype = params.dtype
     Na = geom.N_atom

@@ -126,6 +126,11 @@ class PhysParams:
     active_rows_cap: int = struct.field(pytree_node=False, default=0)
     tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
     transport: str = struct.field(pytree_node=False, default="dense")
+    # static trip count of the contact->trap energy-window integration;
+    # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
+    # volt of CB-edge spread.  The blocked path emits the needed count as a
+    # metric so the driver can detect truncation.
+    tunnel_int_steps: int = struct.field(pytree_node=False, default=1024)
     mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
@@ -349,6 +354,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         active_rows_cap=max(cfg.active_rows_cap, 0),
         tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
         transport=cfg.transport,
+        tunnel_int_steps=cfg.tunnel_int_steps,
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )

@@ -18,8 +18,10 @@ from .state import Geometry, PhysParams, SimState
 
 
 def superstep_impl(
-    geom: Geometry, params: PhysParams, heat, state: SimState, Vd
+    geom: Geometry, params: PhysParams, heat, state: SimState, Vd, cc=None
 ) -> Tuple[SimState, jnp.ndarray, Dict]:
+    """``cc``: optional per-bias-point metal-block cache for the blocked
+    transport operator (current.assemble_cc_block)."""
     metrics: Dict = {}
     if params.solve_potential:
         state, m = charge_mod.update_charge(geom, state)
@@ -42,7 +44,7 @@ def superstep_impl(
         metrics["n_active_rows"] = res.n_active
 
     if params.solve_current:
-        state, m = current_mod.update_power(geom, params, state, Vd)
+        state, m = current_mod.update_power(geom, params, state, Vd, cc=cc)
         metrics.update(m)
         if params.solve_heating_global or params.solve_heating_local:
             state, m = heat_mod.update_temperature(
@@ -55,7 +57,7 @@ def superstep_impl(
 
 def multi_superstep_impl(
     geom: Geometry, params: PhysParams, heat, state: SimState, Vd,
-    Icc_A, t_end, n_steps: int,
+    Icc_A, t_end, n_steps: int, cc=None,
 ):
     """Run up to ``n_steps`` supersteps in ONE device dispatch.
 
@@ -72,7 +74,9 @@ def multi_superstep_impl(
 
     def body(carry, _):
         st, done = carry
-        new_st, step_time, metrics = superstep_impl(geom, params, heat, st, Vd)
+        new_st, step_time, metrics = superstep_impl(
+            geom, params, heat, st, Vd, cc=cc
+        )
         sel = lambda new, old: jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, b, a), new, old
         )

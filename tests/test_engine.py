@@ -127,3 +127,45 @@ def test_modular_driver_emits_timing_keys(tmp_path):
     for key in ("charge", "potential from boundaries", "potential from charges",
                 "kmc events", "dissipated power"):
         assert f"Z - calculation time - {key} [s]:" in out, key
+
+
+def test_simulation_blocked_transport_matches_dense(tmp_path):
+    """Simulation with transport='blocked' (incl. the per-bias-point metal
+    block cache) reproduces the dense-transport trajectory."""
+    import dataclasses
+
+    import numpy as np
+
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.engine import Simulation
+    from devicekmc_tpu.structure import make_test_structure
+
+    s = make_test_structure(nx_contact=2, nx_oxide=6, ny=3, nz=3, seed=9)
+    cfg = KMCConfig(
+        lattice=list(s.lattice), nn_dist=3.0,
+        num_atoms_first_layer=s.num_atoms_first_layer,
+        num_layers_contact=s.num_layers_contact,
+        num_atoms_contact=s.num_atoms_contact,
+        layers=s.layers,
+        solve_potential=True, solve_current=True, solve_heating_global=True,
+        perturb_structure=True, pristine=True,
+        initial_vacancy_concentration=0.1, A=6.25e-19,
+        V_switch=[3.0], t_switch=[1e-12],
+        output_dir=str(tmp_path / "blocked"),
+        transport="blocked",
+    )
+    sim_b = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim_b.run(max_steps_per_bias=4)
+    assert sim_b._cc is not None          # per-bias cache was built
+
+    cfg_d = dataclasses.replace(
+        cfg, transport="dense", output_dir=str(tmp_path / "dense")
+    )
+    sim_d = Simulation(cfg_d, elements=s.elements, coords=s.coords)
+    sim_d.run(max_steps_per_bias=4)
+    np.testing.assert_array_equal(
+        np.asarray(sim_b.state.element), np.asarray(sim_d.state.element)
+    )
+    np.testing.assert_allclose(
+        float(sim_b.state.I_macro), float(sim_d.state.I_macro), rtol=1e-6
+    )

@@ -337,3 +337,22 @@ def test_blocked_update_power_mixed(small_sim):
         float(st_b.I_macro), float(st_d.I_macro), rtol=2e-4
     )
     assert int(mb["cg_iters_power"]) < 2000
+
+
+def test_blocked_chunked_assembly_matches_direct(small_sim, monkeypatch):
+    """Row-chunked tunnel-block assembly (big-block path) == direct."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(transport="blocked", tunnel_vac_cap=max(16, n_vac + 4))
+    blk_direct = current_mod.assemble_X_blocks(geom, pb, state)
+    monkeypatch.setattr(current_mod, "TUNNEL_CHUNK_ELEMS", 64)
+    blk_chunk = current_mod.assemble_X_blocks(geom, pb, state)
+    for k in ("T_cc", "T_vv", "T_vm", "diag"):
+        np.testing.assert_allclose(
+            np.asarray(blk_chunk[k]), np.asarray(blk_direct[k]),
+            rtol=1e-13, atol=0, err_msg=k,
+        )
+    # the integration-window metric must cover the actual CB-edge spread
+    needed = int(blk_direct["int_steps_needed"])
+    assert 0 <= needed <= current_mod.MAX_TUNNEL_STEPS
