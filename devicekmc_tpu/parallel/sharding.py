@@ -49,6 +49,7 @@ def _site_sharded_geometry_specs() -> Geometry:
         rev_slot=P("sites"),
         atom_ind=P(),            # atom gather indices: replicated
         atom_metalp_idx=P(),
+        atom_metalp_inv=P(),
         atom_neigh_idx=P(),      # [N_atom, max_nn] — atom axis is unpadded
         metal_mask_table=P(),
         layer_E=P(),

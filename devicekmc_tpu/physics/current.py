@@ -433,7 +433,7 @@ def assemble_X_blocks(
     return dict(
         nb_vals=nb_vals, nb_safe=safe,
         T_cc=T_cc, T_vv=T_vv, T_vm=T_vm,
-        mp=mp, vidx=vidx, v_ok=v_ok,
+        mp=mp, mp_inv=geom.atom_metalp_inv, vidx=vidx, v_ok=v_ok,
         src_vals=src_vals, gnd_vals=gnd_vals,
         loop_G=loop_G, diag=diag,
         int_steps_needed=int_steps_needed,
@@ -462,7 +462,13 @@ def _apply_X_blocks(blk, x, wd):
     y_mv = jnp.matmul(xv, blk["T_vm"]).astype(wd)
     y_vv = jnp.matmul(blk["T_vv"], xv).astype(wd)
     y_vm = jnp.matmul(blk["T_vm"], xm).astype(wd)
-    ya = ya.at[blk["mp"]].add(y_cc + y_mv)
+    # metal_p placement via a static gather (TPU scatters are ~10x slower
+    # than gathers and this runs once per CG iteration); vacancy placement
+    # keeps the (small, dynamic) scatter
+    inv = blk["mp_inv"]
+    y_mp_pad = jnp.concatenate([y_cc + y_mv, jnp.zeros(1, dtype=wd)])
+    n_mp = blk["mp"].shape[0]
+    ya = ya + y_mp_pad[jnp.where(inv >= 0, inv, n_mp)]
     ya = ya.at[blk["vidx"]].add(jnp.where(blk["v_ok"], y_vv + y_vm, 0.0))
 
     src = blk["src_vals"].astype(wd)
@@ -593,7 +599,9 @@ def update_power_blocked(
     cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
     vv_r, _ = _pdisp_rows_cols(blk["T_vv"], ms_v, ms_v, Vd)
     vm_r, vm_c = _pdisp_rows_cols(blk["T_vm"], ms_v, ms_m, Vd)
-    P_disp = P_disp.at[blk["mp"]].add(cc_r + vm_c)
+    inv = blk["mp_inv"]
+    pm_pad = jnp.concatenate([cc_r + vm_c, jnp.zeros(1, dtype=P_disp.dtype)])
+    P_disp = P_disp + pm_pad[jnp.where(inv >= 0, inv, blk["mp"].shape[0])]
     P_disp = P_disp.at[blk["vidx"]].add(
         jnp.where(blk["v_ok"], vv_r + vm_r, 0.0)
     )

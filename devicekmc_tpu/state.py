@@ -56,6 +56,10 @@ class Geometry:
     atom_metalp_idx: Any # [n_mp] int32: atom slots that are "interior metal"
                          # (metal_p, src/current_solver.cpp:86-92) — static
                          # because events never touch metal sites
+    atom_metalp_inv: Any # [N_atom] int32: position of atom in the metal_p
+                         # list, -1 otherwise — lets the blocked transport
+                         # matvec place metal-block results with a gather
+                         # instead of a (TPU-slow) scatter
     rev_slot: Any        # [N,max_nn] int32: slot of i within row neigh_idx[i,s]
                          # (reverse edge; -1 at pads) — used by the
                          # incremental event loop's O(max_nn) conflict zeroing
@@ -246,6 +250,10 @@ def build_geometry(
         & (aidx < na - (nlc - 1) * nsi)
     )
     atom_metalp_idx = np.nonzero(metalp)[0].astype(np.int32)
+    atom_metalp_inv = np.full(na, -1, dtype=np.int32)
+    atom_metalp_inv[atom_metalp_idx] = np.arange(
+        len(atom_metalp_idx), dtype=np.int32
+    )
 
     # atom-level neighbour graph: site neighbours restricted to atom sites,
     # re-indexed into atom slots (static — events never change the atom set)
@@ -288,6 +296,7 @@ def build_geometry(
         v2_pair=jnp.asarray(v2, dtype=dtype),
         site_layer=jnp.asarray(site_layer, dtype=jnp.int32),
         atom_metalp_idx=jnp.asarray(atom_metalp_idx),
+        atom_metalp_inv=jnp.asarray(atom_metalp_inv),
         rev_slot=jnp.asarray(rev_slot),
         atom_neigh_idx=jnp.asarray(atom_neigh_idx),
         atom_ind=jnp.asarray(atom_ind),
