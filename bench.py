@@ -110,6 +110,11 @@ def build_full_crossbar_sim(precision: str, vd: float):
         poisson_compact_cap=256, active_rows_cap=0,
         solver_tol=1e-8,
         transport="blocked",
+        # transport_precond="coarse" measured: hard re-solves 227->126 CG
+        # iters but warm-started steps 10->60 (the additive coarse term
+        # distorts the well-converged subspace) — net slower here; Jacobi
+        # stays the default (see PERFORMANCE.md)
+        transport_precond="jacobi",
         tunnel_vac_cap=256,          # forming run starts vacancy-free
         # window count must cover the CB-edge spread (~Vd + band offsets);
         # checked every step via the tunnel_int_steps_needed metric
@@ -247,9 +252,10 @@ def main():
         from devicekmc_tpu.physics.potential import solve_cb_edge
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
         if params.transport == "blocked":
-            # per-bias-point cache of the metal_p x metal_p tunnel block
-            from devicekmc_tpu.physics.current import assemble_cc_block
-            cc = jax.jit(assemble_cc_block)(geom, params, state)
+            # per-bias-point cache: metal_p x metal_p tunnel block +
+            # (with transport_precond='coarse') the inverted coarse matrix
+            from devicekmc_tpu.physics.current import assemble_transport_cache
+            cc = jax.jit(assemble_transport_cache)(geom, params, state)
 
     t0 = time.time()
     try:

@@ -146,6 +146,9 @@ class KMCConfig:
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
     tunnel_int_steps: int = 1024           # energy-window integration trip count
                                            # (exact while >= 100 * max CB-edge spread [V])
+    transport_precond: str = "jacobi"      # "jacobi" | "coarse": add a two-level x-slab
+                                           # coarse correction to the blocked transport CG
+    coarse_slabs: int = 16                 # number of x-slab aggregates for "coarse"
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
                                            # blocks over {vacancy, interior-metal} only —
@@ -196,7 +199,7 @@ _INT_KEYS = {
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
-    "tunnel_int_steps",
+    "tunnel_int_steps", "coarse_slabs",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",
@@ -210,7 +213,7 @@ _VEC_STR_KEYS = {"metals"}
 _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
-    "transport",
+    "transport", "transport_precond",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

@@ -77,8 +77,8 @@ def _phase_power(geom, params, state, Vd, cc=None):
 
 
 @jax.jit
-def _phase_cc_block(geom, params, state):
-    return current_mod.assemble_cc_block(geom, params, state)
+def _phase_transport_cache(geom, params, state):
+    return current_mod.assemble_transport_cache(geom, params, state)
 
 
 @jax.jit
@@ -402,7 +402,7 @@ class Simulation:
                 f"{time.perf_counter() - t0:.6g}\n"
             )
             if params.transport == "blocked":
-                self._cc = _phase_cc_block(self.geom, params, self.state)
+                self._cc = _phase_transport_cache(self.geom, params, self.state)
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)

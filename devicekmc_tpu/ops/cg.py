@@ -34,6 +34,7 @@ def cg_solve(
     tol: float = 1e-12,
     maxiter: int = 50000,
     criterion: str = "r",
+    precond: Optional[Callable] = None,
 ) -> CGResult:
     """Solve A x = b for SPD A with preconditioned CG.
 
@@ -53,6 +54,9 @@ def cg_solve(
                  ~1e-14 tunnelling rows) — this matches the reference's
                  stopping rule on the symmetric-scaled system
                  (src/iterative_solvers_gpu.cu:309-480).
+      precond: optional SPD preconditioner application r -> M^-1 r;
+        overrides the Jacobi ``diag`` preconditioner when given (used by
+        the transport solver's two-level coarse correction).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -60,9 +64,10 @@ def cg_solve(
         minv = jnp.ones_like(b)
     else:
         minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    apply_M = precond if precond is not None else (lambda r: minv * r)
 
     if criterion == "pre":
-        ref = jnp.sqrt(jnp.dot(b, minv * b))
+        ref = jnp.sqrt(jnp.dot(b, apply_M(b)))
     else:
         ref = jnp.sqrt(jnp.dot(b, b))
     thresh = tol * jnp.where(ref > 0, ref, 1.0)
@@ -72,7 +77,7 @@ def cg_solve(
         return rz if criterion == "pre" else jnp.dot(r, r)
 
     r0 = b - matvec(x0)
-    z0 = minv * r0
+    z0 = apply_M(r0)
     p0 = z0
     rz0 = jnp.dot(r0, z0)
 
@@ -87,7 +92,7 @@ def cg_solve(
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        z = minv * r
+        z = apply_M(r)
         rz_new = jnp.dot(r, z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = z + beta * p
@@ -110,6 +115,7 @@ def cg_solve_mixed(
     maxiter: int = 50000,
     max_outer: int = 40,
     inner_maxiter: int = 300,
+    inner_precond: Optional[Callable] = None,
 ) -> CGResult:
     """Mixed-precision CG with iterative refinement.
 
@@ -152,6 +158,7 @@ def cg_solve_mixed(
             maxiter=inner_maxiter,   # bounded: f32 CG stagnates at its
                                      # precision floor; refinement outer
                                      # iterations do the rest
+            precond=inner_precond,
         )
         x = x + inner.x.astype(b.dtype) * scale
         r = b - matvec_hi(x)

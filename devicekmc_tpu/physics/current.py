@@ -265,6 +265,61 @@ def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
     return blk["T_cc"]
 
 
+def assemble_transport_cache(geom: Geometry, params: PhysParams, state: SimState):
+    """Per-bias-point cache for the blocked transport solver.
+
+    Contains the metal_p x metal_p tunnel block (see assemble_cc_block) and,
+    when ``transport_precond == 'coarse'``, the inverted Galerkin coarse
+    matrix for the two-level preconditioner.  The coarse matrix is built
+    from the bias-start operator; as vacancies move during the bias point it
+    becomes slightly stale, which is harmless for a preconditioner (it stays
+    SPD) and removes the K-column matvec setup from every superstep."""
+    cache = {"cc": assemble_cc_block(geom, params, state)}
+    if params.transport_precond == "coarse":
+        blk = assemble_X_blocks(geom, params, state, cc=cache["cc"])
+        Nsub = geom.N_atom + 1
+        R = _coarse_restriction(geom, params)
+        def apply_sub(x_sub):
+            x_full = jnp.concatenate([x_sub, jnp.zeros(1, dtype=x_sub.dtype)])
+            return _apply_X_blocks(blk, x_full, params.dtype)[:Nsub]
+        AR = jax.vmap(apply_sub)(R)
+        cache["A_c_inv"] = _invert_coarse(AR @ R.T, params.dtype)
+    return cache
+
+
+def _coarse_restriction(geom: Geometry, params: PhysParams):
+    """0/1 aggregation matrix R [K+2, Nsub]: K x-slabs over the atoms of the
+    grounded subsystem + one aggregate per virtual node."""
+    K = params.coarse_slabs
+    Na = geom.N_atom
+    ax = geom.coords[geom.atom_ind][: Na - 1, 0].astype(params.dtype)
+    xmin, xmax = jnp.min(ax), jnp.max(ax)
+    slab = jnp.clip(
+        ((ax - xmin) / jnp.maximum(xmax - xmin, 1e-30) * K).astype(jnp.int32),
+        0, K - 1,
+    )
+    agg = jnp.concatenate([jnp.asarray([K, K + 1], dtype=jnp.int32), slab])
+    return jax.nn.one_hot(agg, K + 2, dtype=params.dtype).T
+
+
+def _invert_coarse(A_c, dtype):
+    """Invert the small SPD coarse matrix.  TPU LuDecomposition is f32-only,
+    so: Jacobi-scale (raw rows span ~loop_G..low_G), f32 inverse, one Newton
+    refinement step in the working dtype, unscale.  A relative-eps ridge
+    keeps empty aggregates (zero rows) finite — their correction is
+    annihilated by R^T anyway."""
+    K2 = A_c.shape[0]
+    A_c = A_c + jnp.eye(K2, dtype=dtype) * (
+        1e-12 * jnp.max(jnp.abs(A_c)) + 1e-300
+    )
+    dc = jnp.sqrt(jnp.abs(jnp.diagonal(A_c)))
+    dc = jnp.where(dc > 0, dc, 1.0)
+    A_cs = A_c / dc[:, None] / dc[None, :]
+    X0 = jnp.linalg.inv(A_cs.astype(jnp.float32)).astype(dtype)
+    X1 = X0 @ (2.0 * jnp.eye(K2, dtype=dtype) - A_cs @ X0)
+    return X1 / dc[None, :] / dc[:, None]
+
+
 def assemble_X_blocks(
     geom: Geometry, params: PhysParams, state: SimState,
     cc=None, _cc_only: bool = False,
@@ -537,6 +592,11 @@ def update_power_blocked(
     Nsub = Na + 1
     nsi = params.num_source_inj
 
+    # cc: either the raw metal block or the assemble_transport_cache dict
+    A_c_inv_cached = None
+    if isinstance(cc, dict):
+        A_c_inv_cached = cc.get("A_c_inv")
+        cc = cc.get("cc")
     blk = assemble_X_blocks(geom, params, state, cc=cc)
     loop_G = blk["loop_G"]
     diag = blk["diag"]
@@ -550,6 +610,28 @@ def update_power_blocked(
         return _apply_X_blocks(blk, x_full, wd)[:Nsub]
 
     d = diag[:Nsub]
+
+    precond_hi = precond_lo = None
+    if params.transport_precond == "coarse":
+        # Two-level additive preconditioner: Jacobi (identity on the scaled
+        # system) + a Galerkin coarse correction over K x-slab aggregates
+        # (+ each virtual node as its own aggregate).  The slow CG modes of
+        # the conductance network are smooth along the transport axis; the
+        # (K+2)^2 coarse solve removes them.  Each application is two
+        # skinny matmuls; the coarse matrix comes from the per-bias-point
+        # cache when available (assemble_transport_cache) so no per-step
+        # setup matvecs are paid.  SPD: M^-1 = D^-1 (or I) + W A_c^-1 W^T
+        # with A_c = R A R^T SPD.
+        R = _coarse_restriction(geom, params)
+        if A_c_inv_cached is not None:
+            A_c_inv = A_c_inv_cached
+        else:
+            AR = jax.vmap(lambda col: apply_sub(col, dtype))(R)
+            A_c_inv = _invert_coarse(AR @ R.T, dtype)
+        minv_d = jnp.where(d > 0, 1.0 / d, 1.0)
+
+        def precond_hi(r):
+            return minv_d * r + R.T @ (A_c_inv @ (R @ r))
     if params.mixed:
         # Jacobi-scaled f32 CG + f64 iterative refinement — the same scheme
         # (and measured accuracy, ~4e-7 on I) as the dense mixed path.
@@ -557,6 +639,17 @@ def update_power_blocked(
 
         dsi = 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0))
         dsi32 = dsi.astype(jnp.float32)
+        if params.transport_precond == "coarse":
+            # scaled-space coarse basis W = diag(1/dsi) R^T gives the SAME
+            # physical Galerkin matrix: W^T A_s W = R A R^T = A_c
+            R32 = R.astype(jnp.float32)
+            A_c_inv32 = A_c_inv.astype(jnp.float32)
+            inv_dsi32 = (1.0 / dsi).astype(jnp.float32)
+
+            def precond_lo(r):
+                u = A_c_inv32 @ (R32 @ (r * inv_dsi32))
+                return r + (R32.T @ u) * inv_dsi32
+
         b_s = rhs * dsi
         y0 = state.virtual_potentials[:Nsub] / dsi
         res = cg_solve_mixed(
@@ -567,6 +660,7 @@ def update_power_blocked(
             b_s, x0=y0,
             tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
             maxiter=cg_maxiter,
+            inner_precond=precond_lo,
         )
         v = res.x * dsi
         cg_iters = res.iters
@@ -575,6 +669,7 @@ def update_power_blocked(
             lambda x: apply_sub(x, dtype), rhs,
             x0=state.virtual_potentials[:Nsub],
             diag=d, tol=cg_tol, maxiter=cg_maxiter, criterion="pre",
+            precond=precond_hi,
         )
         v = res.x
         cg_iters = res.iters

@@ -130,6 +130,8 @@ class PhysParams:
     active_rows_cap: int = struct.field(pytree_node=False, default=0)
     tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
     transport: str = struct.field(pytree_node=False, default="dense")
+    transport_precond: str = struct.field(pytree_node=False, default="jacobi")
+    coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
     # volt of CB-edge spread.  The blocked path emits the needed count as a
@@ -321,6 +323,11 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         raise ValueError(
             f"unknown transport={cfg.transport!r}; expected 'dense' or 'blocked'"
         )
+    if cfg.transport_precond not in ("jacobi", "coarse"):
+        raise ValueError(
+            f"unknown transport_precond={cfg.transport_precond!r}; "
+            "expected 'jacobi' or 'coarse'"
+        )
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     s = lambda x: jnp.asarray(x, dtype=dtype)
     return PhysParams(
@@ -363,6 +370,8 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         active_rows_cap=max(cfg.active_rows_cap, 0),
         tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
         transport=cfg.transport,
+        transport_precond=cfg.transport_precond,
+        coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
