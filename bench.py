@@ -88,7 +88,7 @@ def build_crossbar_sim(precision: str):
     return geom, params, heat, state
 
 
-def build_full_crossbar_sim(precision: str, vd: float):
+def build_full_crossbar_sim(precision: str, vd: float, precond: str = "jacobi"):
     """FULL physics (charge + potentials + KMC + transport + heat) on the
     75,360-atom reference crossbar — beyond the reference's demonstrated
     envelope (its committed crossbar timing runs exclude the current solve;
@@ -110,11 +110,10 @@ def build_full_crossbar_sim(precision: str, vd: float):
         poisson_compact_cap=256, active_rows_cap=0,
         solver_tol=1e-8,
         transport="blocked",
-        # transport_precond="coarse" measured: hard re-solves 227->126 CG
-        # iters but warm-started steps 10->60 (the additive coarse term
-        # distorts the well-converged subspace) — net slower here; Jacobi
-        # stays the default (see PERFORMANCE.md)
-        transport_precond="jacobi",
+        # "coarse" = init-CG deflation (opt in with --precond coarse;
+        # the earlier additive variant measured net-slower, PERFORMANCE.md)
+        transport_precond=precond,
+        coarse_slabs=24,
         tunnel_vac_cap=256,          # forming run starts vacancy-free
         # window count must cover the CB-edge spread (~Vd + band offsets);
         # checked every step via the tunnel_int_steps_needed metric
@@ -200,6 +199,8 @@ def main():
                     help="full coupled pipeline on the 75,360-atom crossbar "
                          "via the blocked matrix-free transport operator")
     ap.add_argument("--vd", type=float, default=None)
+    ap.add_argument("--precond", default="jacobi", choices=["jacobi", "coarse"],
+                    help="blocked-transport CG preconditioning (full-crossbar)")
     ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
@@ -214,7 +215,7 @@ def main():
     if args.full_crossbar:
         vd0 = args.vd if args.vd is not None else 1.0
         geom, params, heat, state, _ = build_full_crossbar_sim(
-            args.precision, vd0
+            args.precision, vd0, precond=args.precond
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)

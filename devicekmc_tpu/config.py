@@ -146,8 +146,9 @@ class KMCConfig:
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
     tunnel_int_steps: int = 1024           # energy-window integration trip count
                                            # (exact while >= 100 * max CB-edge spread [V])
-    transport_precond: str = "jacobi"      # "jacobi" | "coarse": add a two-level x-slab
-                                           # coarse correction to the blocked transport CG
+    transport_precond: str = "jacobi"      # "jacobi" | "coarse": init-CG deflation of the
+                                           # blocked transport warm start on a Galerkin
+                                           # x-slab coarse subspace (1 extra matvec/step)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "coarse"
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel

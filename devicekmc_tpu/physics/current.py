@@ -288,8 +288,12 @@ def assemble_transport_cache(geom: Geometry, params: PhysParams, state: SimState
 
 
 def _coarse_restriction(geom: Geometry, params: PhysParams):
-    """0/1 aggregation matrix R [K+2, Nsub]: K x-slabs over the atoms of the
-    grounded subsystem + one aggregate per virtual node."""
+    """0/1 aggregation matrix R [K, Nsub]: K x-slabs over the atoms of the
+    grounded subsystem.  The two virtual nodes belong to NO aggregate
+    (their index K maps to a zero one-hot row): their loop_G~1e15 rows
+    would put kappa(A_c) near 1e20, beyond what the f32-LU + Newton
+    inverse can represent — measured to corrupt warm starts when they
+    were included — while Jacobi already handles them perfectly."""
     K = params.coarse_slabs
     Na = geom.N_atom
     ax = geom.coords[geom.atom_ind][: Na - 1, 0].astype(params.dtype)
@@ -298,16 +302,59 @@ def _coarse_restriction(geom: Geometry, params: PhysParams):
         ((ax - xmin) / jnp.maximum(xmax - xmin, 1e-30) * K).astype(jnp.int32),
         0, K - 1,
     )
-    agg = jnp.concatenate([jnp.asarray([K, K + 1], dtype=jnp.int32), slab])
-    return jax.nn.one_hot(agg, K + 2, dtype=params.dtype).T
+    agg = jnp.concatenate([jnp.asarray([K, K], dtype=jnp.int32), slab])
+    return jax.nn.one_hot(agg, K, dtype=params.dtype).T
+
+
+def _cholesky_small(A):
+    """In-place Cholesky of a small SPD matrix via a fori_loop over columns
+    — works in f64 on TPU, where jnp.linalg LU/Cholesky is f32-only.
+    Column j reads the finished columns < j (zero above their diagonal) and
+    the raw column j of A."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def col(j, M):
+        lrow_j = jnp.where(idx < j, M[j, :], 0.0)       # L[j, :j]
+        s = M[:, j] - M @ lrow_j                        # A[:,j] - sum L L^T
+        d = jnp.sqrt(jnp.maximum(s[j], 1e-300))
+        return M.at[:, j].set(jnp.where(idx >= j, s / d, 0.0))
+
+    return jax.lax.fori_loop(0, n, col, A)
+
+
+def _cholesky_solve_identity(L):
+    """A^-1 = L^-T L^-1 for a small lower-triangular L (multi-RHS forward +
+    backward substitution with fori_loops)."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+    eye = jnp.eye(n, dtype=L.dtype)
+
+    def fwd(j, Y):
+        y = (eye[j, :] - L[j, :] @ Y) / L[j, j]
+        return Y.at[j, :].set(y)
+
+    Y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(L))
+
+    def bwd(k, X):
+        j = n - 1 - k
+        x = (Y[j, :] - L[:, j] @ X) / L[j, j]
+        return X.at[j, :].set(x)
+
+    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(L))
 
 
 def _invert_coarse(A_c, dtype):
-    """Invert the small SPD coarse matrix.  TPU LuDecomposition is f32-only,
-    so: Jacobi-scale (raw rows span ~loop_G..low_G), f32 inverse, one Newton
-    refinement step in the working dtype, unscale.  A relative-eps ridge
-    keeps empty aggregates (zero rows) finite — their correction is
-    annihilated by R^T anyway."""
+    """Invert the small SPD coarse matrix in full working precision.
+
+    An earlier version used the f32 LU (TPU has no f64 LU) plus one Newton
+    step — but kappa(A_c) ~ 1e10 (contact slabs' high_G couplings vs the
+    low_G oxide chain) makes ||I - A X0|| > 1, so Newton *diverges* and the
+    corrupted inverse injected large errors into warm starts (measured:
+    10 -> 259 CG iterations).  A hand-rolled f64 Cholesky costs O(K^3) on a
+    ~24^2 matrix — negligible — and is accurate to ~kappa*eps_f64 ~ 1e-6.
+    A relative-eps ridge keeps empty aggregates (zero rows) finite — their
+    correction is annihilated by R^T anyway."""
     K2 = A_c.shape[0]
     A_c = A_c + jnp.eye(K2, dtype=dtype) * (
         1e-12 * jnp.max(jnp.abs(A_c)) + 1e-300
@@ -315,9 +362,9 @@ def _invert_coarse(A_c, dtype):
     dc = jnp.sqrt(jnp.abs(jnp.diagonal(A_c)))
     dc = jnp.where(dc > 0, dc, 1.0)
     A_cs = A_c / dc[:, None] / dc[None, :]
-    X0 = jnp.linalg.inv(A_cs.astype(jnp.float32)).astype(dtype)
-    X1 = X0 @ (2.0 * jnp.eye(K2, dtype=dtype) - A_cs @ X0)
-    return X1 / dc[None, :] / dc[:, None]
+    L = _cholesky_small(A_cs)
+    X = _cholesky_solve_identity(L)
+    return X / dc[None, :] / dc[:, None]
 
 
 def assemble_X_blocks(
@@ -611,27 +658,26 @@ def update_power_blocked(
 
     d = diag[:Nsub]
 
-    precond_hi = precond_lo = None
+    x_init = state.virtual_potentials[:Nsub]
     if params.transport_precond == "coarse":
-        # Two-level additive preconditioner: Jacobi (identity on the scaled
-        # system) + a Galerkin coarse correction over K x-slab aggregates
-        # (+ each virtual node as its own aggregate).  The slow CG modes of
-        # the conductance network are smooth along the transport axis; the
-        # (K+2)^2 coarse solve removes them.  Each application is two
-        # skinny matmuls; the coarse matrix comes from the per-bias-point
-        # cache when available (assemble_transport_cache) so no per-step
-        # setup matvecs are paid.  SPD: M^-1 = D^-1 (or I) + W A_c^-1 W^T
-        # with A_c = R A R^T SPD.
+        # init-CG deflation: correct the warm start exactly on the Galerkin
+        # coarse subspace (K x-slab aggregates + per-virtual-node
+        # aggregates), then run plain Jacobi CG.  An *additive* two-level
+        # preconditioner was measured to slow warm-started solves 10 -> 60
+        # iterations (it perturbs the already-converged subspace;
+        # PERFORMANCE.md) — the init-CG form cannot: when the warm start is
+        # good, W^T r0 ~ 0 and the correction is a no-op, while hard
+        # re-solves get their smooth long-range error removed up front.
+        # Costs one extra matvec per superstep; the coarse matrix rides the
+        # per-bias-point cache (assemble_transport_cache).
         R = _coarse_restriction(geom, params)
         if A_c_inv_cached is not None:
             A_c_inv = A_c_inv_cached
         else:
             AR = jax.vmap(lambda col: apply_sub(col, dtype))(R)
             A_c_inv = _invert_coarse(AR @ R.T, dtype)
-        minv_d = jnp.where(d > 0, 1.0 / d, 1.0)
-
-        def precond_hi(r):
-            return minv_d * r + R.T @ (A_c_inv @ (R @ r))
+        r0 = rhs - apply_sub(x_init, dtype)
+        x_init = x_init + R.T @ (A_c_inv @ (R @ r0))
     if params.mixed:
         # Jacobi-scaled f32 CG + f64 iterative refinement — the same scheme
         # (and measured accuracy, ~4e-7 on I) as the dense mixed path.
@@ -639,19 +685,8 @@ def update_power_blocked(
 
         dsi = 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0))
         dsi32 = dsi.astype(jnp.float32)
-        if params.transport_precond == "coarse":
-            # scaled-space coarse basis W = diag(1/dsi) R^T gives the SAME
-            # physical Galerkin matrix: W^T A_s W = R A R^T = A_c
-            R32 = R.astype(jnp.float32)
-            A_c_inv32 = A_c_inv.astype(jnp.float32)
-            inv_dsi32 = (1.0 / dsi).astype(jnp.float32)
-
-            def precond_lo(r):
-                u = A_c_inv32 @ (R32 @ (r * inv_dsi32))
-                return r + (R32.T @ u) * inv_dsi32
-
         b_s = rhs * dsi
-        y0 = state.virtual_potentials[:Nsub] / dsi
+        y0 = x_init / dsi
         res = cg_solve_mixed(
             lambda y: dsi * apply_sub(dsi * y, dtype),
             lambda y: (dsi32 * apply_sub(dsi32 * y, jnp.float32)).astype(
@@ -660,16 +695,14 @@ def update_power_blocked(
             b_s, x0=y0,
             tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
             maxiter=cg_maxiter,
-            inner_precond=precond_lo,
         )
         v = res.x * dsi
         cg_iters = res.iters
     else:
         res = cg_solve(
             lambda x: apply_sub(x, dtype), rhs,
-            x0=state.virtual_potentials[:Nsub],
+            x0=x_init,
             diag=d, tol=cg_tol, maxiter=cg_maxiter, criterion="pre",
-            precond=precond_hi,
         )
         v = res.x
         cg_iters = res.iters
