@@ -136,6 +136,13 @@ class KMCConfig:
     # --- framework extensions (not in the reference) ---
     precision: str = "f64"                 # "f64" | "f32" compute precision
     solver_tol: float = 1e-12              # CG relative tolerance
+    transport_tol: float = 1e-8            # transport (power) CG tolerance, in the
+                                           # Jacobi-preconditioned residual norm.
+                                           # 1e-8 gives I_macro within ~3e-5 of the
+                                           # reference's exact dense solve; 1e-12
+                                           # matches it to ~1e-9 (cross-validated
+                                           # against the CPU reference binary,
+                                           # tests/test_cross_validation.py)
     solver_maxiter: int = 50000            # CG iteration cap (reference warns at 50k)
     selection: str = "two_level"           # "two_level" | "flat" event selection
     event_mode: str = "incremental"        # "incremental" | "scan" residence-time loop
@@ -146,6 +153,15 @@ class KMCConfig:
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
     tunnel_int_steps: int = 1024           # energy-window integration trip count
                                            # (exact while >= 100 * max CB-edge spread [V])
+    bc_pinned_width: str = "first_layer"   # boundary-potential Dirichlet width:
+                                           # "first_layer" pins num_atoms_first_layer sites
+                                           # per side (reference GPU path,
+                                           # src/potential_solver.cpp:240-241);
+                                           # "full_contact" pins num_atoms_contact sites
+                                           # (reference CPU path, :272 and :294-296 —
+                                           # a genuine CPU/GPU divergence in the
+                                           # reference; use this for cross-validation
+                                           # against the CPU binary)
     transport_precond: str = "jacobi"      # "jacobi" | "coarse": init-CG deflation of the
                                            # blocked transport warm start on a Galerkin
                                            # x-slab coarse subspace (1 extra matvec/step)
@@ -208,13 +224,14 @@ _FLOAT_KEYS = {
     "dissipation_constant", "small_step", "event_time", "delta_t", "delta",
     "power_adjustment_term", "L_char", "k_th_metal", "k_th_non_vacancy",
     "k_th_vacancies", "c_p", "t_ox", "G_coeff", "solver_tol",
+    "transport_tol",
 }
 _VEC_FLOAT_KEYS = {"lattice", "shifts", "V_switch", "t_switch", "alpha", "A"}
 _VEC_STR_KEYS = {"metals"}
 _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
-    "transport", "transport_precond",
+    "transport", "transport_precond", "bc_pinned_width",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

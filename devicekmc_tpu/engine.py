@@ -214,25 +214,36 @@ class Simulation:
             self._make = lambda g, p, h: make_sharded_superstep(g, p, h, mesh)
         else:
             self._make = make_superstep if fused else make_modular_superstep
+        self._use_batched = (
+            getattr(cfg, "batch_steps", 1) > 1 and fused and mesh is None
+        )
+        self._rebuild_supersteps()
+        self._buffer = []
+        # per-bias-point metal-block cache for the blocked transport
+        # operator (CB edges are constant within a bias point)
+        self._cc = None
+        self.output_path = os.path.join(cfg.output_dir, "output.txt")
+
+    def _rebuild_supersteps(self):
+        """(Re)jit the per-step and batched superstep entry points for the
+        current params (called at init and after any compaction-cap
+        growth)."""
         self._superstep = self._make(self.geom, self.params, self.heat)
         self._msuperstep = None
-        if getattr(cfg, "batch_steps", 1) > 1 and fused and mesh is None:
+        if self._use_batched:
             from functools import partial
 
             from .superstep import multi_superstep_impl
 
-            mj = jax.jit(partial(multi_superstep_impl, n_steps=cfg.batch_steps))
+            mj = jax.jit(
+                partial(multi_superstep_impl, n_steps=self.cfg.batch_steps)
+            )
             self._msuperstep = (
                 lambda st, Vd, icc, t_end: mj(
                     self.geom, self.params, self.heat, st, Vd, icc, t_end,
                     cc=self._cc,
                 )
             )
-        self._buffer = []
-        # per-bias-point metal-block cache for the blocked transport
-        # operator (CB edges are constant within a bias point)
-        self._cc = None
-        self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
     def _auto_poisson_cap(self) -> int:
         """Power-of-two bucket covering every chargeable site (V / Od species
@@ -333,15 +344,28 @@ class Simulation:
                 f.write("".join(self._buffer))
             self._buffer = []
 
-    def write_snapshot(self, step_count: int, folder: str):
+    def write_snapshot(
+        self, step_count: int, folder: str, elem_state=None, field_state=None
+    ):
+        """Write ``snapshot_<step>.xyz`` (element, x, y, z, phi_total, power
+        — reference format src/Device.cpp:236-252).
+
+        The reference writes the step-k snapshot mid-superstep: after the
+        field solve but *before* KMC events (src/kmc_main.cpp:198-205), so it
+        pairs pre-event elements/power with the current step's potential.
+        The fused superstep reproduces that exactly by combining the
+        pre-superstep state (``elem_state``: elements, power) with the
+        post-superstep state (``field_state``: potentials — events never
+        modify the potential fields)."""
         os.makedirs(folder, exist_ok=True)
-        state = self.state
+        es = self.state if elem_state is None else elem_state
+        fs = self.state if field_state is None else field_state
         nr = self.geom.N_real
-        phi = np.asarray(state.potential_boundary + state.potential_charge)[:nr]
-        power = np.asarray(state.power)[:nr]
+        phi = np.asarray(fs.potential_boundary + fs.potential_charge)[:nr]
+        power = np.asarray(es.power)[:nr]
         write_xyz(
             os.path.join(folder, f"snapshot_{step_count}.xyz"),
-            np.asarray(state.element)[:nr],
+            np.asarray(es.element)[:nr],
             np.asarray(self.geom.coords)[:nr],
             extra_cols=[phi, power],
         )
@@ -428,9 +452,6 @@ class Simulation:
             V_vcm = Vd - I_macro * cfg.Rs
             self._log(f"V_vcm: {V_vcm:g}\n")
 
-            if step_count % cfg.log_freq == 0:
-                self.write_snapshot(step_count, folder)
-
             prev_state = self.state
             self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
             grow_a = self._maybe_grow_active_cap(metrics)
@@ -439,6 +460,14 @@ class Simulation:
                 # a bucket overflowed: redo the step with the larger cap
                 self.state = prev_state
                 self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
+
+            if step_count % cfg.log_freq == 0:
+                # reference snapshot semantics: written after the field solve,
+                # before events (see write_snapshot docstring)
+                self.write_snapshot(
+                    step_count, folder,
+                    elem_state=prev_state, field_state=self.state,
+                )
             step_time = float(step_time)
             jax.block_until_ready(self.state.element)
             dt_step = time.perf_counter() - t_start

@@ -57,6 +57,9 @@ def _site_sharded_geometry_specs() -> Geometry:
         left_mask=P(),           # contact masks: replicated (vector-sized)
         right_mask=P(),
         interior_mask=P(),
+        bp_left_mask=P(),
+        bp_right_mask=P(),
+        bp_interior_mask=P(),
         inner_mask=P(),
         real_mask=P(),
     )

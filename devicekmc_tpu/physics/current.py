@@ -624,7 +624,7 @@ def update_power_blocked(
     params: PhysParams,
     state: SimState,
     Vd,
-    cg_tol: float = 1e-8,
+    cg_tol: float = None,
     cg_maxiter: int = 20000,
     cc=None,
 ) -> Tuple[SimState, Dict]:
@@ -714,34 +714,44 @@ def update_power_blocked(
     I_macro = jnp.sum(blk["gnd_vals"] * (M[0] - Matoms))
 
     # --- dissipated power, block by block ---
-    min_V = jnp.min(Matoms)
-    Ms = Matoms + jnp.abs(min_V)
+    # The reference computes site power ONLY when a heating solver is on
+    # (the whole extraction block is guarded, src/current_solver.cpp:279-371)
+    # — with heating off site_power stays zero and the power key is not
+    # logged.  params flags are static, so this branch resolves at trace
+    # time and the extraction work disappears from the compiled program.
+    solve_heat = params.solve_heating_global or params.solve_heating_local
+    if solve_heat:
+        min_V = jnp.min(Matoms)
+        Ms = Matoms + jnp.abs(min_V)
 
-    dM_nb = Ms[:, None] - Ms[blk["nb_safe"]]
-    I_cal = blk["nb_vals"] * dM_nb
-    fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
-    P_disp = jnp.sum(jnp.where(fwd, -I_cal, 0.0) * (-dM_nb), axis=1)
+        dM_nb = Ms[:, None] - Ms[blk["nb_safe"]]
+        I_cal = blk["nb_vals"] * dM_nb
+        fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+        P_disp = jnp.sum(jnp.where(fwd, -I_cal, 0.0) * (-dM_nb), axis=1)
 
-    ms_m = Ms[blk["mp"]]
-    ms_v = jnp.where(blk["v_ok"], Ms[blk["vidx"]], 0.0)
-    cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
-    vv_r, _ = _pdisp_rows_cols(blk["T_vv"], ms_v, ms_v, Vd)
-    vm_r, vm_c = _pdisp_rows_cols(blk["T_vm"], ms_v, ms_m, Vd)
-    inv = blk["mp_inv"]
-    pm_pad = jnp.concatenate([cc_r + vm_c, jnp.zeros(1, dtype=P_disp.dtype)])
-    P_disp = P_disp + pm_pad[jnp.where(inv >= 0, inv, blk["mp"].shape[0])]
-    P_disp = P_disp.at[blk["vidx"]].add(
-        jnp.where(blk["v_ok"], vv_r + vm_r, 0.0)
-    )
+        ms_m = Ms[blk["mp"]]
+        ms_v = jnp.where(blk["v_ok"], Ms[blk["vidx"]], 0.0)
+        cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
+        vv_r, _ = _pdisp_rows_cols(blk["T_vv"], ms_v, ms_v, Vd)
+        vm_r, vm_c = _pdisp_rows_cols(blk["T_vm"], ms_v, ms_m, Vd)
+        inv = blk["mp_inv"]
+        pm_pad = jnp.concatenate([cc_r + vm_c, jnp.zeros(1, dtype=P_disp.dtype)])
+        P_disp = P_disp + pm_pad[jnp.where(inv >= 0, inv, blk["mp"].shape[0])]
+        P_disp = P_disp.at[blk["vidx"]].add(
+            jnp.where(blk["v_ok"], vv_r + vm_r, 0.0)
+        )
 
-    idx = jnp.arange(Na, dtype=jnp.int32)
-    metal = geom.metal_mask_table[state.element[geom.atom_ind]]
-    in_range = (idx >= nsi) & (idx < Na - nsi)
-    alpha = jnp.where(metal, 0.0, 1.0)
-    atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
+        idx = jnp.arange(Na, dtype=jnp.int32)
+        metal = geom.metal_mask_table[state.element[geom.atom_ind]]
+        in_range = (idx >= nsi) & (idx < Na - nsi)
+        alpha = jnp.where(metal, 0.0, 1.0)
+        atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
 
-    power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
-    P_tot = jnp.sum(power)
+        power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
+        P_tot = jnp.sum(power)
+    else:
+        power = jnp.zeros(geom.N, dtype=dtype)
+        P_tot = jnp.zeros((), dtype=dtype)
 
     new_vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
     new_state = state.replace(
@@ -757,11 +767,13 @@ def update_power_blocked(
         "n_vac_atoms": n_vac_atoms,
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
-        "Total dissipated power [mW]": P_tot * 1e3,
         "cg_iters_power": cg_iters,
         "contact_potential_drop": contact_drop,
         "tunnel_int_steps_needed": blk["int_steps_needed"],
     }
+    if solve_heat:
+        # logged only when a heating solver is on (reference schema)
+        metrics["Total dissipated power [mW]"] = P_tot * 1e3
     return new_state, metrics
 
 
@@ -771,10 +783,12 @@ def update_power(
     state: SimState,
     Vd,
     method: str = "cg",
-    cg_tol: float = 1e-8,
+    cg_tol: float = None,
     cg_maxiter: int = 20000,
     cc=None,
 ) -> Tuple[SimState, Dict]:
+    if cg_tol is None:
+        cg_tol = params.transport_tol
     if params.transport == "blocked" and method != "direct":
         return update_power_blocked(
             geom, params, state, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
@@ -841,44 +855,51 @@ def update_power(
     I_macro = jnp.sum(X[0, 2:] * (M[0] - M[2:]))
 
     # --- dissipated power ---
-    Matoms = M[2:]
-    min_V = jnp.min(Matoms)
-    Ms = Matoms + jnp.abs(min_V)
+    # only when a heating solver is on (reference guards the whole block,
+    # src/current_solver.cpp:279-371); static flags -> resolved at trace time
+    solve_heat = params.solve_heating_global or params.solve_heating_local
+    if solve_heat:
+        Matoms = M[2:]
+        min_V = jnp.min(Matoms)
+        Ms = Matoms + jnp.abs(min_V)
 
-    # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i]) with
-    # I_neg(i,j) = -X(i,j)(Ms_i - Ms_j) on forward-current pairs
-    # (diagonal fold + gemv, src/current_solver.cpp:319-337).
-    # Swept in row blocks so no second N_atom^2 array is materialised
-    # alongside X (keeps peak memory ~ |X| at crossbar scale).
-    BLK = 1024
-    na_pad = (-Na) % BLK
-    Xa_p = jnp.pad(X[2:, 2:], ((0, na_pad), (0, 0)))
-    Ms_p = jnp.pad(Ms, (0, na_pad))
-    idx = jnp.arange(Na, dtype=jnp.int32)
+        # P_disp[i] = sum_j I_neg[i,j] * (Ms[j] - Ms[i]) with
+        # I_neg(i,j) = -X(i,j)(Ms_i - Ms_j) on forward-current pairs
+        # (diagonal fold + gemv, src/current_solver.cpp:319-337).
+        # Swept in row blocks so no second N_atom^2 array is materialised
+        # alongside X (keeps peak memory ~ |X| at crossbar scale).
+        BLK = 1024
+        na_pad = (-Na) % BLK
+        Xa_p = jnp.pad(X[2:, 2:], ((0, na_pad), (0, 0)))
+        Ms_p = jnp.pad(Ms, (0, na_pad))
+        idx = jnp.arange(Na, dtype=jnp.int32)
 
-    def block_pdisp(b0):
-        rows = jax.lax.dynamic_slice(Xa_p, (b0, jnp.int32(0)), (BLK, Na))
-        ms_b = jax.lax.dynamic_slice(Ms_p, (b0,), (BLK,))
-        ids = b0 + jnp.arange(BLK, dtype=jnp.int32)
-        dMb = ms_b[:, None] - Ms[None, :]
-        I_cal = rows * dMb
-        fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
-        offd = ids[:, None] != idx[None, :]
-        I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
-        return jnp.sum(I_neg * (-dMb), axis=1)
+        def block_pdisp(b0):
+            rows = jax.lax.dynamic_slice(Xa_p, (b0, jnp.int32(0)), (BLK, Na))
+            ms_b = jax.lax.dynamic_slice(Ms_p, (b0,), (BLK,))
+            ids = b0 + jnp.arange(BLK, dtype=jnp.int32)
+            dMb = ms_b[:, None] - Ms[None, :]
+            I_cal = rows * dMb
+            fwd = ((I_cal < 0) & (Vd > 0)) | ((I_cal > 0) & (Vd < 0))
+            offd = ids[:, None] != idx[None, :]
+            I_neg = jnp.where(fwd & offd, -I_cal, 0.0)
+            return jnp.sum(I_neg * (-dMb), axis=1)
 
-    n_blocks = (Na + na_pad) // BLK
-    P_disp = jax.lax.map(
-        block_pdisp, jnp.arange(n_blocks, dtype=jnp.int32) * BLK
-    ).reshape(-1)[:Na]
+        n_blocks = (Na + na_pad) // BLK
+        P_disp = jax.lax.map(
+            block_pdisp, jnp.arange(n_blocks, dtype=jnp.int32) * BLK
+        ).reshape(-1)[:Na]
 
-    metal = geom.metal_mask_table[state.element[geom.atom_ind]]
-    in_range = (idx >= nsi) & (idx < Na - nsi)
-    alpha = jnp.where(metal, 0.0, 1.0)
-    atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
+        metal = geom.metal_mask_table[state.element[geom.atom_ind]]
+        in_range = (idx >= nsi) & (idx < Na - nsi)
+        alpha = jnp.where(metal, 0.0, 1.0)
+        atom_power = jnp.where(in_range, -alpha * P_disp, 0.0).astype(dtype)
 
-    power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
-    P_tot = jnp.sum(power)
+        power = jnp.zeros(geom.N, dtype=dtype).at[geom.atom_ind].set(atom_power)
+        P_tot = jnp.sum(power)
+    else:
+        power = jnp.zeros(geom.N, dtype=dtype)
+        P_tot = jnp.zeros((), dtype=dtype)
 
     new_vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
     new_state = state.replace(
@@ -894,10 +915,12 @@ def update_power(
         "n_vac_atoms": n_vac_atoms,
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
-        "Total dissipated power [mW]": P_tot * 1e3,
         "cg_iters_power": cg_iters,
         "contact_potential_drop": contact_drop,
     }
+    if solve_heat:
+        # logged only when a heating solver is on (reference schema)
+        metrics["Total dissipated power [mW]"] = P_tot * 1e3
     return new_state, metrics
 
 

@@ -75,9 +75,11 @@ def _dirichlet_laplace_solve(
     tol: float,
     maxiter: int,
     mixed: str = "",
+    masks=None,         # (left, right, interior) override; default geom masks
 ):
     """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
-    geom.right_mask).  Returns the full-length potential vector.
+    geom.right_mask, or the ``masks`` override).  Returns the full-length
+    potential vector.
 
     ``mixed="ir"`` runs the CG iterations in f32 with f64
     iterative-refinement residuals (see ops.cg.cg_solve_mixed).  NOTE:
@@ -85,9 +87,12 @@ def _dirichlet_laplace_solve(
     and the refinement stalls (11k+ inner iterations vs 471 plain f64) — so
     mixed precision keeps these solves in f64 and spends its f32 budget on
     the rate/Poisson kernels instead."""
-    interior = geom.interior_mask
-    is_left = geom.left_mask
-    is_right = geom.right_mask
+    if masks is None:
+        is_left, is_right, interior = (
+            geom.left_mask, geom.right_mask, geom.interior_mask
+        )
+    else:
+        is_left, is_right, interior = masks
 
     diag = jnp.sum(edge_g, axis=1)          # row sum of conductances
     safe = jnp.maximum(geom.neigh_idx, 0)
@@ -163,6 +168,8 @@ def solve_boundary_potential(
             geom, edge_g, vl, vr,
             x0=state.potential_boundary,
             tol=params.solver_tol, maxiter=params.solver_maxiter,
+            masks=(geom.bp_left_mask, geom.bp_right_mask,
+                   geom.bp_interior_mask),
         )
         return phi, res.iters
 

@@ -75,6 +75,15 @@ class Geometry:
     left_mask: Any       # [N] bool: Dirichlet left contact
     right_mask: Any      # [N] bool: Dirichlet right contact
     interior_mask: Any   # [N] bool: real non-contact sites
+    # boundary-potential (resistive network) Dirichlet masks.  Normally equal
+    # to left/right/interior_mask (the reference GPU path pins
+    # num_atoms_first_layer sites per side for both Laplace solves), but the
+    # reference CPU path pins num_atoms_contact sites for the *boundary*
+    # solve only (src/potential_solver.cpp:272 vs :240-241 and :7-8) — config
+    # bc_pinned_width="full_contact" reproduces that for cross-validation.
+    bp_left_mask: Any    # [N] bool
+    bp_right_mask: Any   # [N] bool
+    bp_interior_mask: Any  # [N] bool
     inner_mask: Any      # [N] bool: sites [num_atoms_contact, N_real-nac)
     real_mask: Any       # [N] bool: non-padding sites
 
@@ -122,6 +131,7 @@ class PhysParams:
     solve_heating_local: bool = struct.field(pytree_node=False, default=False)
     perturb_structure: bool = struct.field(pytree_node=False, default=True)
     solver_tol: float = struct.field(pytree_node=False, default=1e-12)
+    transport_tol: float = struct.field(pytree_node=False, default=1e-8)
     solver_maxiter: int = struct.field(pytree_node=False, default=50000)
     selection: str = struct.field(pytree_node=False, default="two_level")
     event_mode: str = struct.field(pytree_node=False, default="incremental")
@@ -289,6 +299,13 @@ def build_geometry(
     interior_mask = (idx >= n_left) & (idx < n_real - n_right)
     inner_mask = (idx >= nac) & (idx < n_real - nac)
     real_mask = idx < n_real
+    if getattr(cfg, "bc_pinned_width", "first_layer") == "full_contact":
+        bp_w = nac
+    else:
+        bp_w = cfg.num_atoms_first_layer
+    bp_left_mask = idx < bp_w
+    bp_right_mask = (idx >= n_real - bp_w) & (idx < n_real)
+    bp_interior_mask = (idx >= bp_w) & (idx < n_real - bp_w)
 
     return Geometry(
         coords=jnp.asarray(coords, dtype=dtype),
@@ -308,6 +325,9 @@ def build_geometry(
         left_mask=jnp.asarray(left_mask),
         right_mask=jnp.asarray(right_mask),
         interior_mask=jnp.asarray(interior_mask),
+        bp_left_mask=jnp.asarray(bp_left_mask),
+        bp_right_mask=jnp.asarray(bp_right_mask),
+        bp_interior_mask=jnp.asarray(bp_interior_mask),
         inner_mask=jnp.asarray(inner_mask),
         real_mask=jnp.asarray(real_mask),
         N=int(n),
@@ -362,6 +382,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         solve_heating_local=cfg.solve_heating_local,
         perturb_structure=cfg.perturb_structure,
         solver_tol=cfg.solver_tol,
+        transport_tol=cfg.transport_tol,
         solver_maxiter=cfg.solver_maxiter,
         selection=cfg.selection,
         event_mode=cfg.event_mode,
