@@ -281,58 +281,123 @@ class Simulation:
             cap *= 2
         return min(cap, self.geom.N)
 
+    @staticmethod
+    def _metric_max(metrics: Dict, key: str):
+        """Max of a metric over the dispatch (scalar in per-step mode,
+        [batch_steps] array in batched mode); None if absent."""
+        v = metrics.get(key)
+        if v is None:
+            return None
+        return int(np.max(np.asarray(v)))
+
     def _maybe_grow_active_cap(self, metrics: Dict) -> bool:
-        """Returns True if the last superstep may have been computed with an
+        """Returns True if the last dispatch may have been computed with an
         overflowing row bucket and must be redone."""
-        if self.cfg.active_rows_cap != -1:
-            return False
-        n_active = metrics.get("n_active_rows")
-        if n_active is None:
-            return False
-        n_active = int(n_active)
+        n_active = self._metric_max(metrics, "n_active_rows")
         cap = self.params.active_rows_cap
-        if cap <= 0:
+        if n_active is None or cap <= 0:
             return False
         overflow = n_active >= cap
+        if self.cfg.active_rows_cap != -1:
+            if overflow:
+                raise RuntimeError(
+                    f"active-row bucket overflow: n_active={n_active} >= "
+                    f"fixed active_rows_cap={cap}; raise the cap (or set -1 "
+                    "for automatic growth)"
+                )
+            return False
         if overflow or n_active > 0.75 * cap:
             new_cap = min(max(cap * 2, 1024), self.geom.N)
             if new_cap != cap:
                 self.params = self.params.replace(active_rows_cap=new_cap)
-                self._superstep = self._make(self.geom, self.params, self.heat)
+                self._rebuild_supersteps()
         return overflow
 
     def _maybe_grow_tunnel_cap(self, metrics: Dict) -> bool:
-        if self.cfg.tunnel_vac_cap != -1:
-            return False
-        n_vac = metrics.get("n_vac_atoms")
+        n_vac = self._metric_max(metrics, "n_vac_atoms")
         cap = self.params.tunnel_vac_cap
         if n_vac is None or cap <= 0:
             return False
-        n_vac = int(n_vac)
         overflow = n_vac >= cap
+        if self.cfg.tunnel_vac_cap != -1:
+            if overflow:
+                raise RuntimeError(
+                    f"tunnel vacancy bucket overflow: n_vac={n_vac} >= fixed "
+                    f"tunnel_vac_cap={cap}; raise the cap (or set -1)"
+                )
+            return False
         if overflow or n_vac > 0.75 * cap:
             new_cap = min(max(cap * 2, 256), self.geom.N_atom)
             if new_cap != cap:
                 self.params = self.params.replace(tunnel_vac_cap=new_cap)
-                self._superstep = self._make(self.geom, self.params, self.heat)
+                self._rebuild_supersteps()
         return overflow
 
-    def _maybe_grow_poisson_cap(self, metrics: Dict):
-        if self.cfg.poisson_compact_cap != -1:
-            return
-        try:
-            n_species = int(metrics["Charged vacancies"]) + int(
-                metrics["Uncharged vacancies"]
-            ) + int(metrics["Charged oxygen ions"]) + int(
-                metrics["Uncharged oxygen ions"]
-            )
-        except KeyError:
-            return
+    def _maybe_grow_poisson_cap(self, metrics: Dict) -> bool:
+        """Charged-site compaction bucket.  ``n_charged_sites`` is the TRUE
+        charged count (potential.poisson_gridless_compact); if it exceeded
+        the cap the pair sweep already dropped charges, so the dispatch must
+        be redone — the overflow-redo the round-1 driver lacked."""
         cap = self.params.poisson_compact_cap
-        if n_species > 0.75 * cap and cap < self.geom.N:
-            new_cap = min(max(cap * 2, 256), self.geom.N)
-            self.params = self.params.replace(poisson_compact_cap=new_cap)
-            self._superstep = self._make(self.geom, self.params, self.heat)
+        if cap <= 0:
+            return False
+        n_charged = self._metric_max(metrics, "n_charged_sites")
+        overflow = n_charged is not None and n_charged > cap
+        if self.cfg.poisson_compact_cap != -1:
+            if overflow:
+                raise RuntimeError(
+                    f"Poisson charged-site bucket overflow: "
+                    f"n_charged={n_charged} > fixed poisson_compact_cap="
+                    f"{cap}; raise the cap (or set -1)"
+                )
+            return False
+        # growth trigger: the V/Od species count (an upper bound on the
+        # charged-site count) approaching the bucket, or an actual overflow
+        try:
+            n_species = sum(
+                self._metric_max(metrics, k)
+                for k in ("Charged vacancies", "Uncharged vacancies",
+                          "Charged oxygen ions", "Uncharged oxygen ions")
+            )
+        except TypeError:
+            n_species = None
+        need = max(n_charged or 0, n_species or 0)
+        if overflow or (n_species is not None and n_species > 0.75 * cap):
+            new_cap = cap
+            while new_cap < min(self.geom.N, max(int(1.3 * need) + 8, 256)):
+                new_cap *= 2
+            new_cap = min(new_cap, self.geom.N)
+            if new_cap != cap:
+                self.params = self.params.replace(poisson_compact_cap=new_cap)
+                self._rebuild_supersteps()
+        return overflow
+
+    def _maybe_grow_tunnel_int_steps(self, metrics: Dict) -> bool:
+        """Energy-window integration trip count (blocked transport).  The
+        solver emits the trip count the contact->trap integral actually
+        needed (ceil(max |dE_CB| / 0.01 V)); if it exceeds the static trip
+        count the integral was silently truncated — grow to the next power
+        of two and redo.  (Round 1 emitted the metric but never checked
+        it.)"""
+        needed = self._metric_max(metrics, "tunnel_int_steps_needed")
+        cur = self.params.tunnel_int_steps
+        if needed is None or needed <= cur:
+            return False
+        new = cur
+        while new < needed:
+            new *= 2
+        self.params = self.params.replace(tunnel_int_steps=new)
+        self._rebuild_supersteps()
+        return True
+
+    def _check_caps(self, metrics: Dict) -> bool:
+        """Grow any overflowing/near-full compaction bucket; True = the
+        dispatch was computed on a truncated set and must be redone."""
+        redo = self._maybe_grow_active_cap(metrics)
+        redo = self._maybe_grow_tunnel_cap(metrics) or redo
+        redo = self._maybe_grow_poisson_cap(metrics) or redo
+        redo = self._maybe_grow_tunnel_int_steps(metrics) or redo
+        return redo
 
     # -- logging ---------------------------------------------------------
     def _log(self, text: str):
@@ -454,10 +519,11 @@ class Simulation:
 
             prev_state = self.state
             self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
-            grow_a = self._maybe_grow_active_cap(metrics)
-            grow_t = self._maybe_grow_tunnel_cap(metrics)
-            if grow_a or grow_t:
-                # a bucket overflowed: redo the step with the larger cap
+            for _ in range(4):
+                # a compaction bucket overflowed: redo the step with the
+                # larger cap(s) until every bucket fits
+                if not self._check_caps(metrics):
+                    break
                 self.state = prev_state
                 self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
 
@@ -485,7 +551,6 @@ class Simulation:
 
             I_macro = float(self.state.I_macro)
             result = {k: float(v) for k, v in metrics.items()}
-            self._maybe_grow_poisson_cap(result)
 
             # solver-divergence warning (reference: 50k-iteration warning,
             # src/iterative_solvers_gpu.cu:452-454)
@@ -542,10 +607,23 @@ class Simulation:
                 next_snap += max(cfg.log_freq, 1)
 
             t0 = time.perf_counter()
+            prev_state = self.state
             self.state, step_times, ms = self._msuperstep(
                 self.state, Vd, icc_A, t_end
             )
             jax.block_until_ready(self.state.element)
+            for _ in range(4):
+                # bucket overflow mid-batch: the whole batch was computed on
+                # a truncated set — restore the pre-batch state, grow the
+                # cap(s) (recompiles), redo.  (The round-1 batched path
+                # skipped these checks entirely.)
+                if not self._check_caps(ms):
+                    break
+                self.state = prev_state
+                self.state, step_times, ms = self._msuperstep(
+                    self.state, Vd, icc_A, t_end
+                )
+                jax.block_until_ready(self.state.element)
             dt_batch = time.perf_counter() - t0
 
             active = np.asarray(ms["active"])
