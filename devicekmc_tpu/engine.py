@@ -170,17 +170,43 @@ class Simulation:
         coords: Optional[np.ndarray] = None,
         fused: bool = True,
         mesh=None,
+        decomposition: str = "replicate",
     ):
-        """``mesh``: an optional 1-D jax.sharding.Mesh ("sites" axis); the
-        site axis is padded to the mesh size and pair arrays are sharded
-        across it (parallel/sharding.py)."""
+        """``mesh``: an optional 1-D jax.sharding.Mesh ("sites" axis).
+
+        ``decomposition`` (with a mesh):
+          * ``"replicate"`` — pair arrays sharded by site row, field vectors
+            replicated (parallel/sharding.py); exact, memory cost O(N) per
+            device.
+          * ``"halo"`` — x-slab domain decomposition with halo exchange for
+            every phase (parallel/halo_superstep.py); memory cost O(N/ndev)
+            per device.  Requires graph bandwidth <= slab size; currently
+            covers charge/potential/events configs.
+        """
         self.cfg = cfg
         self.mesh = mesh
-        pad_to = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self.decomposition = decomposition if mesh is not None else "none"
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        if self.decomposition == "halo":
+            from .physics.events import _BLOCK
+
+            pad_to = ndev * _BLOCK
+        else:
+            pad_to = ndev
         self.geom, self.params, self.state = build_simulation(
             cfg, elements=elements, coords=coords, pad_to=pad_to
         )
-        if mesh is not None:
+        self._halo_width = None
+        if self.decomposition == "halo":
+            from .parallel.halo_superstep import (
+                required_halo, shard_halo_simulation,
+            )
+
+            self._halo_width = required_halo(self.geom)
+            self.geom, self.state = shard_halo_simulation(
+                self.geom, self.state, mesh
+            )
+        elif mesh is not None:
             from .parallel.sharding import shard_simulation
 
             self.geom, self.state = shard_simulation(self.geom, self.state, mesh)
@@ -208,7 +234,13 @@ class Simulation:
             self.params = self.params.replace(
                 tunnel_vac_cap=self._auto_poisson_cap()
             )
-        if mesh is not None:
+        if self.decomposition == "halo":
+            from .parallel.halo_superstep import make_halo_superstep
+
+            self._make = lambda g, p, h: make_halo_superstep(
+                g, p, h, mesh, self._halo_width
+            )
+        elif mesh is not None:
             from .parallel.sharding import make_sharded_superstep
 
             self._make = lambda g, p, h: make_sharded_superstep(g, p, h, mesh)

@@ -58,66 +58,36 @@ _V = int(Element.VACANCY)
 _O = int(Element.O)
 
 
-def build_rate_table(
-    geom: Geometry, params: PhysParams, state: SimState, active_idx=None
-) -> jnp.ndarray:
-    """Rates for every (site, neighbour-slot) pair -> [N, max_nn]
-    (or [cap, max_nn] when ``active_idx`` restricts to candidate source
-    rows — only sites in {DEFECT, OXYGEN_DEFECT, VACANCY} can source an
-    event, so the compaction is exact).
-
-    In mixed-precision mode the table is computed in f32: each rate is an
-    independent exponential (relative error ~1e-7, far below KMC sampling
-    noise), and f64 exp is software-emulated on TPU."""
-    dtype = jnp.float32 if params.mixed else params.dtype
-    elem = state.element
-    phi = (state.potential_boundary + state.potential_charge).astype(dtype)
-
-    # TPU gathers are the bottleneck here: pack (element, charge, layer)
-    # into one int32 per site and pair it with phi in a two-lane row, so the
-    # neighbour side costs ONE row gather instead of four element gathers
-    code = (
+def pack_site_code(elem, charge, site_layer):
+    """Pack (element, charge, layer) into one int32 per site so the
+    neighbour side of the rate table costs ONE row gather instead of four
+    element gathers (TPU gathers dominate this kernel's cost)."""
+    return (
         (elem << 8)
-        | ((state.charge + 8) << 4)
-        | geom.site_layer
+        | ((charge + 8) << 4)
+        | site_layer
     ).astype(jnp.int32)
 
-    if active_idx is not None:
-        neigh_idx = geom.neigh_idx[active_idx]       # [cap, max_nn]
-        neigh_valid = geom.neigh_valid[active_idx]
-        v_pair = geom.v2_pair[active_idx]
-        row_elem = elem[active_idx]
-        row_charge = state.charge[active_idx]
-        row_phi = phi[active_idx]
-        row_layer = geom.site_layer[active_idx]
-    else:
-        neigh_idx = geom.neigh_idx
-        neigh_valid = geom.neigh_valid
-        v_pair = geom.v2_pair
-        row_elem = elem
-        row_charge = state.charge
-        row_phi = phi
-        row_layer = geom.site_layer
 
-    safe = jnp.maximum(neigh_idx, 0)
-    if dtype == jnp.float32:
-        # Bit-or 0x40000000 so the bitcast lane is a NORMAL float (~2.0):
-        # raw small ints are denormal bit patterns and TPU flushes denormals
-        # to zero even through data movement.
-        norm_code = code | jnp.int32(0x40000000)
-        packed = jnp.stack(
-            [phi, jax.lax.bitcast_convert_type(norm_code, jnp.float32)],
-            axis=1,
-        )                                 # [N, 2]
-        g = packed[safe]                  # [N, max_nn, 2] — one gather
-        phi_j = g[..., 0]
-        code_j = (
-            jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
-            & jnp.int32(0xFFFF)
-        )
-    else:
-        phi_j = phi[safe]
-        code_j = code[safe]
+def rates_from_pairs(
+    params: PhysParams,
+    layer_E,        # [n_layers, 4]
+    T_bg,
+    row_elem,       # [R]       source-site element
+    row_charge,     # [R]
+    row_phi,        # [R]
+    row_layer,      # [R]
+    phi_j,          # [R, m]    gathered neighbour potential
+    code_j,         # [R, m]    gathered neighbour pack_site_code (low 16 bits)
+    v1,             # [R, m]    v_solve(r, 1) per pair
+    neigh_valid,    # [R, m]
+):
+    """The four-event-type Arrhenius rate law on pre-gathered pair data.
+
+    Shared verbatim by the single-device table build and the halo-exchange
+    sharded build so their arithmetic is identical (each shard computes its
+    row block of exactly this)."""
+    dtype = phi_j.dtype
     e_j = code_j >> 8
     q_j = (((code_j >> 4) & 15) - 8).astype(dtype)
     lay_j = code_j & 15
@@ -127,11 +97,11 @@ def build_rate_table(
     dphi = row_phi[:, None] - phi_j
 
     # per-pair screened self-interaction for unit charge 1 / charge 2
-    v1 = v_pair.astype(dtype)   # v_solve(r, 1); multiply by charge as needed
+    v1 = v1.astype(dtype)       # v_solve(r, 1); multiply by charge as needed
     v2 = v1 * 2.0               # v_solve(r, 2)
 
     lay_i = row_layer[:, None]
-    layer_E = geom.layer_E.astype(dtype)
+    layer_E = layer_E.astype(dtype)
 
     def _table(col, lay):
         # tiny-table lookup as an unrolled select chain (faster than a
@@ -175,7 +145,7 @@ def build_rate_table(
     )
     any_event = (m_gen | m_rec | m_vdf | m_idf) & neigh_valid
 
-    kT = (C.KB_EV * state.T_bg).astype(dtype)
+    kT = (C.KB_EV * T_bg).astype(dtype)
     # Clamp the Arrhenius exponent: strongly-downhill events (negative
     # barriers, e.g. charged-pair recombination with E_rec_1 = 0) reach
     # exp(+70)+ and would overflow f32 (and eventually f64) — they fire
@@ -189,6 +159,67 @@ def build_rate_table(
     P = params.freq.astype(dtype) * jnp.exp(jnp.minimum(-EA / kT, exp_cap))
     P = jnp.minimum(P, p_cap)
     return jnp.where(any_event, P, 0.0).astype(dtype)
+
+
+def build_rate_table(
+    geom: Geometry, params: PhysParams, state: SimState, active_idx=None
+) -> jnp.ndarray:
+    """Rates for every (site, neighbour-slot) pair -> [N, max_nn]
+    (or [cap, max_nn] when ``active_idx`` restricts to candidate source
+    rows — only sites in {DEFECT, OXYGEN_DEFECT, VACANCY} can source an
+    event, so the compaction is exact).
+
+    In mixed-precision mode the table is computed in f32: each rate is an
+    independent exponential (relative error ~1e-7, far below KMC sampling
+    noise), and f64 exp is software-emulated on TPU."""
+    dtype = jnp.float32 if params.mixed else params.dtype
+    elem = state.element
+    phi = (state.potential_boundary + state.potential_charge).astype(dtype)
+
+    code = pack_site_code(elem, state.charge, geom.site_layer)
+
+    if active_idx is not None:
+        neigh_idx = geom.neigh_idx[active_idx]       # [cap, max_nn]
+        neigh_valid = geom.neigh_valid[active_idx]
+        v_pair = geom.v2_pair[active_idx]
+        row_elem = elem[active_idx]
+        row_charge = state.charge[active_idx]
+        row_phi = phi[active_idx]
+        row_layer = geom.site_layer[active_idx]
+    else:
+        neigh_idx = geom.neigh_idx
+        neigh_valid = geom.neigh_valid
+        v_pair = geom.v2_pair
+        row_elem = elem
+        row_charge = state.charge
+        row_phi = phi
+        row_layer = geom.site_layer
+
+    safe = jnp.maximum(neigh_idx, 0)
+    if dtype == jnp.float32:
+        # Bit-or 0x40000000 so the bitcast lane is a NORMAL float (~2.0):
+        # raw small ints are denormal bit patterns and TPU flushes denormals
+        # to zero even through data movement.
+        norm_code = code | jnp.int32(0x40000000)
+        packed = jnp.stack(
+            [phi, jax.lax.bitcast_convert_type(norm_code, jnp.float32)],
+            axis=1,
+        )                                 # [N, 2]
+        g = packed[safe]                  # [N, max_nn, 2] — one gather
+        phi_j = g[..., 0]
+        code_j = (
+            jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
+            & jnp.int32(0xFFFF)
+        )
+    else:
+        phi_j = phi[safe]
+        code_j = code[safe]
+
+    return rates_from_pairs(
+        params, geom.layer_E, state.T_bg,
+        row_elem, row_charge, row_phi, row_layer,
+        phi_j, code_j, v_pair, neigh_valid,
+    )
 
 
 def _event_type_from_elements(e_i, e_j):
