@@ -153,6 +153,16 @@ class KMCConfig:
     tunnel_vac_cap: int = -1               # contact->trap integral vacancy compaction: -1 auto, 0 dense, >0 fixed
     tunnel_int_steps: int = 1024           # energy-window integration trip count
                                            # (exact while >= 100 * max CB-edge spread [V])
+    site_order: str = "file"               # internal site ordering: "file" keeps the
+                                           # structure file's order (bit-compatible with
+                                           # the reference's positional conventions);
+                                           # "x" applies a stable x-sort internally
+                                           # (graph bandwidth drops ~17x on crossbars,
+                                           # enabling halo slabs and banded kernels) —
+                                           # I/O stays in file order via Geometry.io_idx.
+                                           # Trajectories under "x" are statistically
+                                           # equivalent, not bit-equal (different
+                                           # selection ordering at equal rates).
     bc_pinned_width: str = "first_layer"   # boundary-potential Dirichlet width:
                                            # "first_layer" pins num_atoms_first_layer sites
                                            # per side (reference GPU path,
@@ -231,7 +241,7 @@ _VEC_STR_KEYS = {"metals"}
 _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
-    "transport", "transport_precond", "bc_pinned_width",
+    "transport", "transport_precond", "bc_pinned_width", "site_order",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

@@ -458,12 +458,14 @@ class Simulation:
         es = self.state if elem_state is None else elem_state
         fs = self.state if field_state is None else field_state
         nr = self.geom.N_real
-        phi = np.asarray(fs.potential_boundary + fs.potential_charge)[:nr]
-        power = np.asarray(es.power)[:nr]
+        # rows in FILE order regardless of the internal site ordering
+        io = np.asarray(self.geom.io_idx)[:nr]
+        phi = np.asarray(fs.potential_boundary + fs.potential_charge)[io]
+        power = np.asarray(es.power)[io]
         write_xyz(
             os.path.join(folder, f"snapshot_{step_count}.xyz"),
-            np.asarray(es.element)[:nr],
-            np.asarray(self.geom.coords)[:nr],
+            np.asarray(es.element)[io],
+            np.asarray(self.geom.coords)[io],
             extra_cols=[phi, power],
         )
 

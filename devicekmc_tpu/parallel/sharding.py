@@ -54,6 +54,8 @@ def _site_sharded_geometry_specs() -> Geometry:
         metal_mask_table=P(),
         layer_E=P(),
         lattice=P(),
+        io_idx=P(),              # I/O permutation: replicated
+        io_fpos=P(),
         left_mask=P(),           # contact masks: replicated (vector-sized)
         right_mask=P(),
         interior_mask=P(),

@@ -72,6 +72,15 @@ class Geometry:
     # num_atoms_first_layer *real* sites (the solvers' positional convention,
     # e.g. src/potential_solver.cpp:294-296); masks rather than index ranges
     # so the site axis can be padded for even mesh sharding.
+    # internal <-> file-order site permutation (cfg.site_order).  The
+    # reference's conventions (contact extents, atom ordering, snapshot
+    # rows) are positional in FILE order; the internal order may differ
+    # (e.g. "x": stable x-sort for graph-bandwidth reduction — crossbar
+    # bandwidth drops ~88k -> ~5.2k, enabling halo slabs and VMEM-windowed
+    # kernels).  Both arrays are identity when site_order="file".
+    io_idx: Any          # [N] int32: internal index of file position p
+    io_fpos: Any         # [N] int32: file position of internal site k
+                         # (pad sites map past N_real)
     left_mask: Any       # [N] bool: Dirichlet left contact
     right_mask: Any      # [N] bool: Dirichlet right contact
     interior_mask: Any   # [N] bool: real non-contact sites
@@ -197,6 +206,27 @@ def build_geometry(
         neigh_idx = build_neighbor_list(coords, lattice, cfg.nn_dist, cfg.pbc, max_nn)
 
     n_real = len(elements)
+
+    # optional bandwidth-reducing internal permutation (I/O stays in file
+    # order through io_idx/io_fpos; all positional reference conventions
+    # are evaluated in file coordinates below)
+    if getattr(cfg, "site_order", "file") == "x":
+        order = np.argsort(coords[:, 0], kind="stable").astype(np.int32)
+    else:
+        order = np.arange(n_real, dtype=np.int32)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(n_real, dtype=np.int32)
+    if not np.array_equal(order, np.arange(n_real)):
+        elements = np.asarray(elements)[order]
+        coords = np.asarray(coords)[order]
+        nb = neigh_idx[order]
+        nb = np.where(nb >= 0, inv_order[np.where(nb >= 0, nb, 0)], -1)
+        # keep rows ascending (the reference adjacency order; rev_slot
+        # construction below relies on it)
+        big = np.iinfo(np.int32).max
+        nb = np.sort(np.where(nb < 0, big, nb), axis=1)
+        neigh_idx = np.where(nb == big, -1, nb).astype(np.int32)
+
     n_pad = (-n_real) % max(pad_to, 1)
     if n_pad:
         elements = np.concatenate(
@@ -246,8 +276,22 @@ def build_geometry(
         [i in metal_ids for i in range(len(Element))], dtype=bool
     )
 
+    # file position of each internal site (pads map past n_real), and the
+    # reverse map used by I/O (snapshots, restart)
+    fpos = np.concatenate(
+        [order, n_real + np.arange(n_pad, dtype=np.int32)]
+    ).astype(np.int32)
+    io_idx = np.concatenate(
+        [inv_order, n_real + np.arange(n_pad, dtype=np.int32)]
+    ).astype(np.int32)
+
     atom_mask = ~np.isin(elements, [int(e) for e in NON_ATOM_ELEMENTS])
-    atom_ind = np.nonzero(atom_mask)[0].astype(np.int32)
+    # atom slots are ordered by FILE position: the transport solver's
+    # positional conventions (injection = first num_source_inj atoms,
+    # ground strict->, metal_p extents) are defined on the reference's
+    # file order (src/current_solver.cpp:86-99, 181-191)
+    _aint = np.nonzero(atom_mask)[0]
+    atom_ind = _aint[np.argsort(fpos[_aint], kind="stable")].astype(np.int32)
 
     # interior-metal atoms for the transport solver's tunnelling rules
     # (metal_p; static since no KMC event changes a metal site)
@@ -291,21 +335,24 @@ def build_geometry(
         rev = np.sum((jrows >= 0) & (jrows < i_col), axis=-1, dtype=np.int32)
         rev_slot[c0:c1] = np.where(nb_c >= 0, rev, -1)
 
-    idx = np.arange(n)
+    # contact / interior masks are positional in FILE coordinates (the
+    # reference's convention: first/last sites of the file are the
+    # contacts); evaluated through fpos so any internal order keeps the
+    # exact same physical contact sets
     n_left = n_right = cfg.num_atoms_first_layer
     nac = cfg.num_atoms_contact
-    left_mask = idx < n_left
-    right_mask = (idx >= n_real - n_right) & (idx < n_real)
-    interior_mask = (idx >= n_left) & (idx < n_real - n_right)
-    inner_mask = (idx >= nac) & (idx < n_real - nac)
-    real_mask = idx < n_real
+    left_mask = fpos < n_left
+    right_mask = (fpos >= n_real - n_right) & (fpos < n_real)
+    interior_mask = (fpos >= n_left) & (fpos < n_real - n_right)
+    inner_mask = (fpos >= nac) & (fpos < n_real - nac)
+    real_mask = fpos < n_real
     if getattr(cfg, "bc_pinned_width", "first_layer") == "full_contact":
         bp_w = nac
     else:
         bp_w = cfg.num_atoms_first_layer
-    bp_left_mask = idx < bp_w
-    bp_right_mask = (idx >= n_real - bp_w) & (idx < n_real)
-    bp_interior_mask = (idx >= bp_w) & (idx < n_real - bp_w)
+    bp_left_mask = fpos < bp_w
+    bp_right_mask = (fpos >= n_real - bp_w) & (fpos < n_real)
+    bp_interior_mask = (fpos >= bp_w) & (fpos < n_real - bp_w)
 
     return Geometry(
         coords=jnp.asarray(coords, dtype=dtype),
@@ -322,6 +369,8 @@ def build_geometry(
         metal_mask_table=jnp.asarray(metal_table),
         layer_E=jnp.asarray(layer_E, dtype=dtype),
         lattice=jnp.asarray(lattice, dtype=dtype),
+        io_idx=jnp.asarray(io_idx),
+        io_fpos=jnp.asarray(fpos),
         left_mask=jnp.asarray(left_mask),
         right_mask=jnp.asarray(right_mask),
         interior_mask=jnp.asarray(interior_mask),
@@ -434,6 +483,9 @@ def init_state(
             [elements, np.full(n - len(elements), int(Element.DEFECT),
                                dtype=elements.dtype)]
         )
+    # ``elements`` arrives in FILE order; map to the internal site order
+    # (identity unless cfg.site_order != "file")
+    elements = elements[np.asarray(geom.io_fpos)]
     zeros = jnp.zeros(n, dtype=dtype)
     return SimState(
         element=jnp.asarray(elements, dtype=jnp.int32),
