@@ -110,8 +110,9 @@ def build_full_crossbar_sim(precision: str, vd: float, precond: str = "jacobi"):
         poisson_compact_cap=256, active_rows_cap=0,
         solver_tol=1e-8,
         transport="blocked",
-        # "coarse" = init-CG deflation (opt in with --precond coarse;
-        # the earlier additive variant measured net-slower, PERFORMANCE.md)
+        # "deflated" = A-DEF2 deflation in the Jacobi-scaled metric
+        # (opt in with --precond deflated; the round-1 unscaled coarse
+        # variants measured net-slower and were removed, PERFORMANCE.md)
         transport_precond=precond,
         coarse_slabs=24,
         tunnel_vac_cap=256,          # forming run starts vacancy-free
@@ -199,7 +200,7 @@ def main():
                     help="full coupled pipeline on the 75,360-atom crossbar "
                          "via the blocked matrix-free transport operator")
     ap.add_argument("--vd", type=float, default=None)
-    ap.add_argument("--precond", default="jacobi", choices=["jacobi", "coarse"],
+    ap.add_argument("--precond", default="jacobi", choices=["jacobi", "deflated"],
                     help="blocked-transport CG preconditioning (full-crossbar)")
     ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
@@ -253,8 +254,7 @@ def main():
         from devicekmc_tpu.physics.potential import solve_cb_edge
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
         if params.transport == "blocked":
-            # per-bias-point cache: metal_p x metal_p tunnel block +
-            # (with transport_precond='coarse') the inverted coarse matrix
+            # per-bias-point cache: the metal_p x metal_p tunnel block
             from devicekmc_tpu.physics.current import assemble_transport_cache
             cc = jax.jit(assemble_transport_cache)(geom, params, state)
 

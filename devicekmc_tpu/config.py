@@ -172,10 +172,12 @@ class KMCConfig:
                                            # a genuine CPU/GPU divergence in the
                                            # reference; use this for cross-validation
                                            # against the CPU binary)
-    transport_precond: str = "jacobi"      # "jacobi" | "coarse": init-CG deflation of the
-                                           # blocked transport warm start on a Galerkin
-                                           # x-slab coarse subspace (1 extra matvec/step)
-    coarse_slabs: int = 16                 # number of x-slab aggregates for "coarse"
+    transport_precond: str = "jacobi"      # "jacobi" | "deflated": A-DEF2 deflation of the
+                                           # blocked transport CG in the Jacobi-scaled
+                                           # metric (x-slab Galerkin coarse space; cuts
+                                           # hard re-solve iterations without hurting
+                                           # warm-started steps)
+    coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
                                            # blocks over {vacancy, interior-metal} only —

@@ -116,6 +116,7 @@ def cg_solve_mixed(
     max_outer: int = 40,
     inner_maxiter: int = 300,
     inner_precond: Optional[Callable] = None,
+    inner_start: Optional[Callable] = None,
 ) -> CGResult:
     """Mixed-precision CG with iterative refinement.
 
@@ -128,6 +129,13 @@ def cg_solve_mixed(
     field errors; refinement drives them to the f64 floor.
 
     b/x0/diag are f64 (or the working precision); the result is f64.
+
+    ``inner_precond`` / ``inner_start``: optional preconditioner
+    application r -> M^-1 r and start-vector map b -> x0 for the inner f32
+    solves (used by the A-DEF2 deflated transport CG, which requires the
+    special start vector Z E^-1 Z^T b for stability).  Any inexactness in
+    the inner solve only costs iterations — the outer f64 residuals are
+    computed with the true operator, so the refined answer is exact.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -149,10 +157,11 @@ def cg_solve_mixed(
         # scale the residual to O(1): f32 CG underflows on tiny residuals
         rnorm = jnp.sqrt(jnp.dot(r, r))
         scale = jnp.where(rnorm > 0, rnorm, 1.0)
+        b_in = (r / scale).astype(lo)
         inner = cg_solve(
             matvec_lo,
-            (r / scale).astype(lo),
-            x0=None,
+            b_in,
+            x0=inner_start(b_in) if inner_start is not None else None,
             diag=diag_lo,
             tol=inner_tol,
             maxiter=inner_maxiter,   # bounded: f32 CG stagnates at its

@@ -266,34 +266,24 @@ def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
 
 
 def assemble_transport_cache(geom: Geometry, params: PhysParams, state: SimState):
-    """Per-bias-point cache for the blocked transport solver.
-
-    Contains the metal_p x metal_p tunnel block (see assemble_cc_block) and,
-    when ``transport_precond == 'coarse'``, the inverted Galerkin coarse
-    matrix for the two-level preconditioner.  The coarse matrix is built
-    from the bias-start operator; as vacancies move during the bias point it
-    becomes slightly stale, which is harmless for a preconditioner (it stays
-    SPD) and removes the K-column matvec setup from every superstep."""
-    cache = {"cc": assemble_cc_block(geom, params, state)}
-    if params.transport_precond == "coarse":
-        blk = assemble_X_blocks(geom, params, state, cc=cache["cc"])
-        Nsub = geom.N_atom + 1
-        R = _coarse_restriction(geom, params)
-        def apply_sub(x_sub):
-            x_full = jnp.concatenate([x_sub, jnp.zeros(1, dtype=x_sub.dtype)])
-            return _apply_X_blocks(blk, x_full, params.dtype)[:Nsub]
-        AR = jax.vmap(apply_sub)(R)
-        cache["A_c_inv"] = _invert_coarse(AR @ R.T, params.dtype)
-    return cache
+    """Per-bias-point cache for the blocked transport solver: the
+    metal_p x metal_p tunnel block (see assemble_cc_block).  The deflation
+    operators of ``transport_precond == 'deflated'`` are NOT cached here —
+    they are rebuilt per superstep from the current operator (a handful of
+    [Nsub x K] matmuls riding the block reads the matvec pays anyway),
+    because deflation quality degrades with a stale basis while a stale
+    ``cc`` block is exact within a bias point."""
+    return {"cc": assemble_cc_block(geom, params, state)}
 
 
 def _coarse_restriction(geom: Geometry, params: PhysParams):
     """0/1 aggregation matrix R [K, Nsub]: K x-slabs over the atoms of the
-    grounded subsystem.  The two virtual nodes belong to NO aggregate
+    grounded subsystem — the deflation basis of the A-DEF2 transport
+    preconditioner.  The two virtual nodes belong to NO aggregate
     (their index K maps to a zero one-hot row): their loop_G~1e15 rows
-    would put kappa(A_c) near 1e20, beyond what the f32-LU + Newton
-    inverse can represent — measured to corrupt warm starts when they
-    were included — while Jacobi already handles them perfectly."""
+    would put kappa(E) near 1e20, beyond any floating inverse — measured
+    to corrupt warm starts when they were included — while Jacobi already
+    handles them perfectly."""
     K = params.coarse_slabs
     Na = geom.N_atom
     ax = geom.coords[geom.atom_ind][: Na - 1, 0].astype(params.dtype)
@@ -582,6 +572,86 @@ def _apply_X_blocks(blk, x, wd):
     return jnp.concatenate([jnp.stack([y0, y1]), ya]) + blk["diag"].astype(wd) * x
 
 
+def _apply_X_blocks_mat(blk, X, wd):
+    """Y = X_op @ X for a matrix of column vectors X [Na+2, K].
+
+    The multi-RHS twin of :func:`_apply_X_blocks`, used to build the
+    deflation basis W = A Z in one pass: the tunnel blocks are read ONCE
+    for all K columns (MXU matmuls), and the ELL part runs as max_nn
+    row-gathers of [Na, K] panels — K-column cost is marginal over a
+    single matvec."""
+    X = X.astype(wd)
+    x0, x1, Xa = X[0], X[1], X[2:]
+    K = X.shape[1]
+    nb_vals = blk["nb_vals"].astype(wd)
+    Ya = jnp.zeros_like(Xa)
+    for s in range(nb_vals.shape[1]):
+        Ya = Ya + nb_vals[:, s:s + 1] * Xa[blk["nb_safe"][:, s]]
+
+    cd = blk["T_cc"].dtype
+    Xm = Xa[blk["mp"]].astype(cd)
+    Xv = jnp.where(blk["v_ok"][:, None], Xa[blk["vidx"]], 0.0).astype(cd)
+    Y_cc = jnp.matmul(blk["T_cc"], Xm).astype(wd)
+    Y_mv = jnp.matmul(blk["T_vm"].T, Xv).astype(wd)
+    Y_vv = jnp.matmul(blk["T_vv"], Xv).astype(wd)
+    Y_vm = jnp.matmul(blk["T_vm"], Xm).astype(wd)
+    inv = blk["mp_inv"]
+    n_mp = blk["mp"].shape[0]
+    Y_mp_pad = jnp.concatenate([Y_cc + Y_mv, jnp.zeros((1, K), dtype=wd)])
+    Ya = Ya + Y_mp_pad[jnp.where(inv >= 0, inv, n_mp)]
+    Ya = Ya.at[blk["vidx"]].add(
+        jnp.where(blk["v_ok"][:, None], Y_vv + Y_vm, 0.0)
+    )
+
+    src = blk["src_vals"].astype(wd)
+    gnd = blk["gnd_vals"].astype(wd)
+    loop_G = blk["loop_G"].astype(wd)
+    Ya = Ya + gnd[:, None] * x0[None, :] + src[:, None] * x1[None, :]
+    y0 = gnd @ Xa - loop_G * x1
+    y1 = src @ Xa - loop_G * x0
+    return (
+        jnp.concatenate([jnp.stack([y0, y1]), Ya])
+        + blk["diag"].astype(wd)[:, None] * X
+    )
+
+
+def _deflation_ops(geom: Geometry, params: PhysParams, blk, d):
+    """A-DEF2 deflation operators for the blocked transport CG, built in the
+    Jacobi-SCALED metric (transport_precond="deflated").
+
+    Round-1 measurements (PERFORMANCE.md) showed every coarse correction
+    formulated in the UNSCALED metric loses: the correction is optimal in
+    the A-energy norm but worsens the Jacobi-scaled residual norm the
+    stopping criterion uses (matching the reference's rule on the
+    symmetric-scaled system, src/iterative_solvers_gpu.cu:309-480), so CG
+    pays hundreds of iterations re-converging.  The fix is to deflate the
+    scaled system A^ = D^-1/2 A D^-1/2 itself with the scaled basis
+    Z^ = D^1/2 Z — then the Galerkin matrix E = Z^T A Z is unchanged, the
+    projected residual stays in the complement subspace of the metric the
+    criterion measures, and warm-started easy solves cannot be hurt (the
+    A-DEF2 operator is a projection, not an additive term).
+
+    Returns (Zhat [Nsub,K], W = A^ Z^ [Nsub,K], E_inv [K,K] f64).  The
+    preconditioner application is  M^-1 r = r + Z^ E^-1 (Z^^T r - W^T r)
+    with the special start vector  x0 = Z^ E^-1 Z^^T b  (Tang/Nabben/Vuik/
+    Erlangga's A-DEF2 — the variant proven robust to inexact coarse
+    solves, which matters here because E is assembled through f32 blocks)."""
+    dtype = params.dtype
+    Nsub = geom.N_atom + 1
+    Zm = _coarse_restriction(geom, params).T            # [Nsub, K] 0/1
+    cd = jnp.float32 if params.mixed else dtype
+    Xfull = jnp.concatenate(
+        [Zm.astype(cd), jnp.zeros((1, Zm.shape[1]), dtype=cd)], axis=0
+    )
+    AZ = _apply_X_blocks_mat(blk, Xfull, cd)[:Nsub].astype(dtype)
+    E = Zm.T @ AZ                                       # = Z^T A Z
+    E_inv = _invert_coarse(E, dtype)
+    ds = jnp.sqrt(jnp.where(d > 0, d, 1.0))
+    Zhat = ds[:, None] * Zm
+    W = AZ / ds[:, None]
+    return Zhat, W, E_inv
+
+
 def _pdisp_rows_cols(E, ms_r, ms_c, Vd, chunk: int = 2048):
     """Forward-current dissipation sums for one stored tunnel block.
 
@@ -640,9 +710,7 @@ def update_power_blocked(
     nsi = params.num_source_inj
 
     # cc: either the raw metal block or the assemble_transport_cache dict
-    A_c_inv_cached = None
     if isinstance(cc, dict):
-        A_c_inv_cached = cc.get("A_c_inv")
         cc = cc.get("cc")
     blk = assemble_X_blocks(geom, params, state, cc=cc)
     loop_G = blk["loop_G"]
@@ -659,25 +727,9 @@ def update_power_blocked(
     d = diag[:Nsub]
 
     x_init = state.virtual_potentials[:Nsub]
-    if params.transport_precond == "coarse":
-        # init-CG deflation: correct the warm start exactly on the Galerkin
-        # coarse subspace (K x-slab aggregates + per-virtual-node
-        # aggregates), then run plain Jacobi CG.  An *additive* two-level
-        # preconditioner was measured to slow warm-started solves 10 -> 60
-        # iterations (it perturbs the already-converged subspace;
-        # PERFORMANCE.md) — the init-CG form cannot: when the warm start is
-        # good, W^T r0 ~ 0 and the correction is a no-op, while hard
-        # re-solves get their smooth long-range error removed up front.
-        # Costs one extra matvec per superstep; the coarse matrix rides the
-        # per-bias-point cache (assemble_transport_cache).
-        R = _coarse_restriction(geom, params)
-        if A_c_inv_cached is not None:
-            A_c_inv = A_c_inv_cached
-        else:
-            AR = jax.vmap(lambda col: apply_sub(col, dtype))(R)
-            A_c_inv = _invert_coarse(AR @ R.T, dtype)
-        r0 = rhs - apply_sub(x_init, dtype)
-        x_init = x_init + R.T @ (A_c_inv @ (R @ r0))
+    deflate = params.transport_precond == "deflated"
+    if deflate:
+        Zhat, W, E_inv = _deflation_ops(geom, params, blk, d)
     if params.mixed:
         # Jacobi-scaled f32 CG + f64 iterative refinement — the same scheme
         # (and measured accuracy, ~4e-7 on I) as the dense mixed path.
@@ -687,6 +739,22 @@ def update_power_blocked(
         dsi32 = dsi.astype(jnp.float32)
         b_s = rhs * dsi
         y0 = x_init / dsi
+        inner_precond = inner_start = None
+        if deflate:
+            Zh32 = Zhat.astype(jnp.float32)
+            W32 = W.astype(jnp.float32)
+
+            def _coarse_f32(coeff):
+                # E^-1 application stays f64: E carries f32 assembly error
+                # but kappa(E) ~ 1e10 makes an f32 *solve* garbage
+                return (E_inv @ coeff.astype(dtype)).astype(jnp.float32)
+
+            def inner_precond(r):
+                return r + Zh32 @ _coarse_f32(Zh32.T @ r - W32.T @ r)
+
+            def inner_start(b):
+                return Zh32 @ _coarse_f32(Zh32.T @ b)
+
         res = cg_solve_mixed(
             lambda y: dsi * apply_sub(dsi * y, dtype),
             lambda y: (dsi32 * apply_sub(dsi32 * y, jnp.float32)).astype(
@@ -695,6 +763,28 @@ def update_power_blocked(
             b_s, x0=y0,
             tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
             maxiter=cg_maxiter,
+            inner_precond=inner_precond, inner_start=inner_start,
+        )
+        v = res.x * dsi
+        cg_iters = res.iters
+    elif deflate:
+        # f64 deflated solve on the scaled system.  criterion="r" on the
+        # scaled system IS the Jacobi-preconditioned criterion on the
+        # unscaled one: ||D^-1/2 (b - A x)|| = sqrt(r' M^-1 r).
+        ds = jnp.sqrt(jnp.where(d > 0, d, 1.0))
+        dsi = 1.0 / ds
+        b_s = rhs * dsi
+        y0 = x_init * ds
+        y0 = (
+            y0
+            - Zhat @ (E_inv @ (W.T @ y0))       # P^T y0
+            + Zhat @ (E_inv @ (Zhat.T @ b_s))   # + Z^ E^-1 Z^^T b
+        )
+        res = cg_solve(
+            lambda y: dsi * apply_sub(dsi * y, dtype), b_s,
+            x0=y0,
+            precond=lambda r: r + Zhat @ (E_inv @ (Zhat.T @ r - W.T @ r)),
+            tol=cg_tol, maxiter=cg_maxiter, criterion="r",
         )
         v = res.x * dsi
         cg_iters = res.iters

@@ -392,7 +392,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         raise ValueError(
             f"unknown transport={cfg.transport!r}; expected 'dense' or 'blocked'"
         )
-    if cfg.transport_precond not in ("jacobi", "coarse"):
+    if cfg.transport_precond not in ("jacobi", "deflated"):
         raise ValueError(
             f"unknown transport_precond={cfg.transport_precond!r}; "
             "expected 'jacobi' or 'coarse'"

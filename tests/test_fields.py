@@ -358,16 +358,17 @@ def test_blocked_chunked_assembly_matches_direct(small_sim, monkeypatch):
     assert 0 <= needed <= current_mod.MAX_TUNNEL_STEPS
 
 
-def test_blocked_coarse_precond_matches_dense(small_sim):
-    """Two-level (x-slab coarse) preconditioned blocked solve == dense,
-    in both f64 and mixed modes, without iteration blowup."""
+def test_blocked_deflated_precond_matches_dense(small_sim):
+    """A-DEF2 deflated blocked solve (scaled-metric x-slab deflation) ==
+    dense, in both f64 and mixed modes, and the cold solve takes FEWER
+    iterations than plain Jacobi (the whole point of deflation)."""
     Vd = 2.0
     s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
     st_d, _ = current_mod.update_power(geom, params, state, Vd, method="direct")
     n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
     base = params.replace(
         transport="blocked", tunnel_vac_cap=max(16, n_vac + 4),
-        transport_precond="coarse", coarse_slabs=8,
+        transport_precond="deflated", coarse_slabs=8,
     )
     st_c, mc = current_mod.update_power(geom, base, state, Vd, cg_tol=1e-13)
     np.testing.assert_allclose(
@@ -377,5 +378,11 @@ def test_blocked_coarse_precond_matches_dense(small_sim):
     np.testing.assert_allclose(
         float(st_m.I_macro), float(st_d.I_macro), rtol=2e-4
     )
+    # cold-solve iteration comparison vs Jacobi, same tolerance
+    _, mj = current_mod.update_power(
+        geom, base.replace(transport_precond="jacobi"), state, Vd,
+        cg_tol=1e-13,
+    )
+    assert int(mc["cg_iters_power"]) < int(mj["cg_iters_power"])
     assert int(mc["cg_iters_power"]) < 2000
     assert int(mm["cg_iters_power"]) < 2000
