@@ -202,6 +202,9 @@ def main():
     ap.add_argument("--vd", type=float, default=None)
     ap.add_argument("--precond", default="jacobi", choices=["jacobi", "deflated"],
                     help="blocked-transport CG preconditioning (full-crossbar)")
+    ap.add_argument("--no-banded", action="store_true",
+                    help="disable the static banded neighbour matvec "
+                         "(full-crossbar; falls back to the ELL gather)")
     ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
@@ -255,8 +258,17 @@ def main():
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
         if params.transport == "blocked":
             # per-bias-point cache: the metal_p x metal_p tunnel block
-            from devicekmc_tpu.physics.current import assemble_transport_cache
-            cc = jax.jit(assemble_transport_cache)(geom, params, state)
+            from devicekmc_tpu.physics.current import (
+                assemble_transport_cache, build_banded_nb,
+            )
+            cc = dict(jax.jit(assemble_transport_cache)(geom, params, state))
+            if not args.no_banded:
+                band = build_banded_nb(geom, params, state)
+                if band is not None:
+                    cc["band"] = band
+                print(f"# banded nb operator: "
+                      f"{'on, C=' + str(tuple(band['C'].shape)) if band else 'off (too large)'}",
+                      file=sys.stderr)
 
     t0 = time.time()
     try:

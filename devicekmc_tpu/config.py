@@ -183,6 +183,11 @@ class KMCConfig:
                                            # blocks over {vacancy, interior-metal} only —
                                            # O(N_atom*max_nn + |active|^2) memory, enables
                                            # full physics at crossbar scale)
+    transport_banded: bool = True          # blocked transport: replace the per-iteration
+                                           # [Na x max_nn] neighbour gather with a static
+                                           # banded-dense matvec over x-sorted atoms plus a
+                                           # vacancy-bucket correction (current.build_banded_nb);
+                                           # auto-disabled when the band exceeds ~3 GB
     batch_steps: int = 1                   # supersteps per device dispatch (amortizes dispatch latency)
 
     # ------------------------------------------------------------------
@@ -221,7 +226,7 @@ class KMCConfig:
 _BOOL_KEYS = {
     "restart", "pristine", "shift", "pbc", "log_to_file", "verbose",
     "solve_potential", "solve_current", "solve_heating_global",
-    "solve_heating_local", "perturb_structure",
+    "solve_heating_local", "perturb_structure", "transport_banded",
 }
 _INT_KEYS = {
     "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",

@@ -254,6 +254,20 @@ class Simulation:
         # per-bias-point metal-block cache for the blocked transport
         # operator (CB edges are constant within a bias point)
         self._cc = None
+        # static banded neighbour operator for the blocked transport inner
+        # CG (current.build_banded_nb); built once — metal sites and the
+        # atom graph never change
+        self._band = None
+        if (
+            cfg.solve_current and cfg.transport == "blocked"
+            and getattr(cfg, "transport_banded", False) and mesh is None
+        ):
+            self._band = current_mod.build_banded_nb(
+                self.geom, self.params, self.state
+            )
+        # driver position for checkpoint/resume: (bias index, step within
+        # that bias point)
+        self._pos = (0, 0)
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
     def _rebuild_supersteps(self):
@@ -470,78 +484,160 @@ class Simulation:
         )
 
     # -- checkpointing (full state, beyond the reference's xyz restart) --
-    def save_checkpoint(self, path: str):
-        state = self.state
-        np.savez(
-            path,
-            **{
-                f: np.asarray(getattr(state, f))
-                for f in (
-                    "element", "charge", "potential_boundary",
-                    "potential_charge", "CB_edge", "power", "temperature",
-                    "T_bg", "key", "kmc_time", "I_macro", "P_tot",
-                    "virtual_potentials", "step_count", "cvac_prev", "Vd_prev",
-                )
-            },
-        )
+    _CKPT_STATE_FIELDS = (
+        "element", "charge", "potential_boundary",
+        "potential_charge", "CB_edge", "power", "temperature",
+        "T_bg", "key", "kmc_time", "I_macro", "P_tot",
+        "virtual_potentials", "step_count", "cvac_prev", "Vd_prev",
+    )
+    _CKPT_CAP_FIELDS = (
+        # compaction caps grown by _check_caps: must survive a resume or
+        # the redone growth sequence could diverge from the original run
+        "active_rows_cap", "tunnel_vac_cap", "poisson_compact_cap",
+        "tunnel_int_steps",
+    )
 
-    def load_checkpoint(self, path: str):
-        data = np.load(path)
+    def _checkpoint_payload(self) -> Dict:
+        p = {
+            f: np.asarray(getattr(self.state, f))
+            for f in self._CKPT_STATE_FIELDS
+        }
+        for f in self._CKPT_CAP_FIELDS:
+            p[f"cap_{f}"] = np.asarray(getattr(self.params, f))
+        p["pos_bias_index"] = np.asarray(self._pos[0])
+        p["pos_bias_step"] = np.asarray(self._pos[1])
+        return p
+
+    def _restore_payload(self, data: Dict):
         kw = {}
-        for f in data.files:
-            arr = jnp.asarray(data[f])
+        caps = {}
+        for f, arr in data.items():
+            if f.startswith("cap_"):
+                caps[f[4:]] = int(arr)
+                continue
+            if f == "pos_bias_index":
+                self._pos = (int(arr), self._pos[1])
+                continue
+            if f == "pos_bias_step":
+                self._pos = (self._pos[0], int(arr))
+                continue
+            arr = jnp.asarray(np.asarray(arr))
             cur = getattr(self.state, f)
             if hasattr(cur, "dtype") and f != "key":
                 arr = arr.astype(cur.dtype)
             kw[f] = arr
         self.state = self.state.replace(**kw)
+        if caps and any(
+            caps[k] != getattr(self.params, k) for k in caps
+        ):
+            self.params = self.params.replace(**caps)
+            self._rebuild_supersteps()
+
+    def save_checkpoint(self, path: str, backend: Optional[str] = None):
+        """Full-state checkpoint: state arrays + grown compaction caps +
+        driver position (bias index / step), enough for a bit-exact resume
+        through a bias-point boundary.  ``backend``: "npz" (single file,
+        default for *.npz paths) or "orbax" (directory; async-capable,
+        multi-host-aware — the production choice at crossbar scale)."""
+        if backend is None:
+            backend = "npz" if path.endswith(".npz") else "orbax"
+        payload = self._checkpoint_payload()
+        if backend == "npz":
+            np.savez(path, **payload)
+        elif backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(os.path.abspath(path), payload, force=True)
+        else:
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+    def load_checkpoint(self, path: str, backend: Optional[str] = None):
+        if backend is None:
+            backend = "npz" if path.endswith(".npz") else "orbax"
+        if backend == "npz":
+            data = np.load(path)
+            self._restore_payload({f: data[f] for f in data.files})
+        elif backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.PyTreeCheckpointer()
+            self._restore_payload(ckptr.restore(os.path.abspath(path)))
+        else:
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     # -- main loop -------------------------------------------------------
     def run(self, max_steps_per_bias: Optional[int] = None) -> None:
         cfg = self.cfg
-        if os.path.exists(self.output_path):
-            os.remove(self.output_path)
+        resume_bias, resume_step = self._pos
+        if resume_bias == 0 and resume_step == 0:
+            if os.path.exists(self.output_path):
+                os.remove(self.output_path)
 
-        for vt in range(len(cfg.V_switch)):
+        for vt in range(resume_bias, len(cfg.V_switch)):
             Vd = float(cfg.V_switch[vt])
             t_end = float(cfg.t_switch[vt])
-            self.run_bias_point(Vd, t_end, max_steps=max_steps_per_bias)
+            self._pos = (vt, resume_step if vt == resume_bias else 0)
+            summary = self.run_bias_point(
+                Vd, t_end, max_steps=max_steps_per_bias,
+                resume_step=self._pos[1],
+            )
+            if not summary.get("completed", True):
+                # interrupted by max_steps: leave _pos mid-bias so a
+                # checkpoint taken now resumes HERE, not at the next bias
+                break
+            self._pos = (vt + 1, 0)
         self._flush()
 
     def run_bias_point(
-        self, Vd: float, t_end: float, max_steps: Optional[int] = None
+        self, Vd: float, t_end: float, max_steps: Optional[int] = None,
+        resume_step: int = 0,
     ) -> Dict:
+        """``resume_step`` > 0 resumes this bias point mid-flight from a
+        checkpoint: the CB-edge solve is SKIPPED (the checkpointed CB_edge
+        is the bias-start solution — recomputing it from the mid-bias
+        element state would diverge from an uninterrupted run), the
+        transport metal-block cache is rebuilt from that saved CB edge
+        (deterministic), and kmc_time continues from the saved value."""
         cfg, params = self.cfg, self.params
         self._log("--------------------------------\n")
         self._log(f"Applied Voltage = {Vd:g} V\n")
         self._log("--------------------------------\n")
 
         if params.solve_current:
-            t0 = time.perf_counter()
-            self.state, _ = _phase_cb_edge(self.geom, params, self.state, Vd)
-            jax.block_until_ready(self.state.CB_edge)
-            self._log(
-                f"Z - calculation time - CB edge [s]: "
-                f"{time.perf_counter() - t0:.6g}\n"
-            )
+            if resume_step == 0:
+                t0 = time.perf_counter()
+                self.state, _ = _phase_cb_edge(self.geom, params, self.state, Vd)
+                jax.block_until_ready(self.state.CB_edge)
+                self._log(
+                    f"Z - calculation time - CB edge [s]: "
+                    f"{time.perf_counter() - t0:.6g}\n"
+                )
             if params.transport == "blocked":
-                self._cc = _phase_transport_cache(self.geom, params, self.state)
+                cache = dict(
+                    _phase_transport_cache(self.geom, params, self.state)
+                )
+                if self._band is not None:
+                    cache["band"] = self._band
+                self._cc = cache
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)
         self._log(f"Created folder: {folder}\n")
 
-        self.state = self.state.replace(
-            kmc_time=jnp.zeros_like(self.state.kmc_time)
-        )
+        if resume_step == 0:
+            self.state = self.state.replace(
+                kmc_time=jnp.zeros_like(self.state.kmc_time)
+            )
         I_macro = float(self.state.I_macro)
-        step_count = 0
-        kmc_time = 0.0
+        step_count = resume_step
+        kmc_time = float(self.state.kmc_time)
         summary: Dict = {}
 
         if self._msuperstep is not None:
             return self._run_bias_point_batched(
-                Vd, t_end, folder, max_steps=max_steps
+                Vd, t_end, folder, max_steps=max_steps,
+                resume_step=resume_step,
             )
 
         while kmc_time < t_end:
@@ -603,6 +699,7 @@ class Simulation:
             if step_count % cfg.output_freq == 0:
                 self._flush()
             step_count += 1
+            self._pos = (self._pos[0], step_count)
 
             if I_macro > cfg.Icc * 1e-6:
                 self._log("I_macro > Icc, compliance current reached.\n")
@@ -615,11 +712,14 @@ class Simulation:
         self._flush()
         summary["steps"] = step_count
         summary["kmc_time"] = kmc_time
+        summary["completed"] = (
+            kmc_time >= t_end or I_macro > cfg.Icc * 1e-6
+        )
         return summary
 
     def _run_bias_point_batched(
         self, Vd: float, t_end: float, folder: str,
-        max_steps: Optional[int] = None,
+        max_steps: Optional[int] = None, resume_step: int = 0,
     ) -> Dict:
         """Batched main loop: ``batch_steps`` supersteps per device
         dispatch, with the time-window and compliance checks running
@@ -628,10 +728,11 @@ class Simulation:
         output.txt schema); snapshots land on batch boundaries."""
         cfg, params = self.cfg, self.params
         icc_A = cfg.Icc * 1e-6
-        step_count = 0
+        step_count = resume_step
         summary: Dict = {}
-        kmc_time = 0.0
-        next_snap = 0
+        kmc_time = float(self.state.kmc_time)
+        lf = max(cfg.log_freq, 1)
+        next_snap = -(-resume_step // lf) * lf
 
         while kmc_time < t_end:
             if max_steps is not None and step_count >= max_steps:
@@ -681,6 +782,7 @@ class Simulation:
                     self._log(f"{k}: {result[k]:.10g}\n")
                 self._log("--------------------------------------\n")
                 step_count += 1
+            self._pos = (self._pos[0], step_count)
             self._flush()
             if n_done == 0:
                 break
@@ -692,4 +794,8 @@ class Simulation:
         self._flush()
         summary["steps"] = step_count
         summary["kmc_time"] = kmc_time
+        summary["completed"] = (
+            kmc_time >= t_end
+            or float(self.state.I_macro) > icc_A
+        )
         return summary

@@ -42,6 +42,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
 from ..ops.cg import cg_solve
@@ -343,15 +344,17 @@ def _invert_coarse(A_c, dtype):
     corrupted inverse injected large errors into warm starts (measured:
     10 -> 259 CG iterations).  A hand-rolled f64 Cholesky costs O(K^3) on a
     ~24^2 matrix — negligible — and is accurate to ~kappa*eps_f64 ~ 1e-6.
-    A relative-eps ridge keeps empty aggregates (zero rows) finite — their
-    correction is annihilated by R^T anyway."""
-    K2 = A_c.shape[0]
-    A_c = A_c + jnp.eye(K2, dtype=dtype) * (
-        1e-12 * jnp.max(jnp.abs(A_c)) + 1e-300
-    )
+
+    The stabilising ridge is applied AFTER the symmetric diagonal scaling
+    (i.e. relative to each row's own scale): a ridge relative to the
+    GLOBAL max entry would be ~1e12 times larger than the low-conductance
+    oxide rows — the smooth subspace deflation exists to resolve — and
+    corrupt them outright.  Rows with zero diagonal (empty aggregates) get
+    a unit diagonal; their correction is annihilated by Z^T anyway."""
     dc = jnp.sqrt(jnp.abs(jnp.diagonal(A_c)))
     dc = jnp.where(dc > 0, dc, 1.0)
     A_cs = A_c / dc[:, None] / dc[None, :]
+    A_cs = A_cs + jnp.eye(A_c.shape[0], dtype=dtype) * 1e-12
     L = _cholesky_small(A_cs)
     X = _cholesky_solve_identity(L)
     return X / dc[None, :] / dc[:, None]
@@ -359,7 +362,7 @@ def _invert_coarse(A_c, dtype):
 
 def assemble_X_blocks(
     geom: Geometry, params: PhysParams, state: SimState,
-    cc=None, _cc_only: bool = False,
+    cc=None, _cc_only: bool = False, band=None,
 ):
     """Assemble the blocked transport operator (see module comment above).
 
@@ -522,7 +525,7 @@ def assemble_X_blocks(
         [jnp.stack([row0, row1]), row_atoms]
     )
 
-    return dict(
+    out = dict(
         nb_vals=nb_vals, nb_safe=safe,
         T_cc=T_cc, T_vv=T_vv, T_vm=T_vm,
         mp=mp, mp_inv=geom.atom_metalp_inv, vidx=vidx, v_ok=v_ok,
@@ -530,6 +533,22 @@ def assemble_X_blocks(
         loop_G=loop_G, diag=diag,
         int_steps_needed=int_steps_needed,
     )
+    if band is not None:
+        # dynamic complement of the static banded operator: the
+        # (high_G - low_G) bump on uncharged-vacancy pairs, supported
+        # entirely on the vacancy bucket (see build_banded_nb)
+        vnb = anb[vidx]                       # [vcap, max_nn]
+        vvalid = vnb >= 0
+        vsafe = jnp.where(vvalid, vnb, 0)
+        hi_dyn = (
+            vvalid & v_ok[:, None] & cvac[vidx][:, None] & cvac[vsafe]
+        )
+        out["band"] = band
+        out["band_dyn_vals"] = jnp.where(
+            hi_dyn, -(high_G - low_G), 0.0
+        ).astype(jnp.float32)
+        out["band_vnb_safe"] = vsafe
+    return out
 
 
 def _apply_X_blocks(blk, x, wd):
@@ -539,8 +558,18 @@ def _apply_X_blocks(blk, x, wd):
     blocks multiply in their storage dtype with ``wd`` accumulation."""
     x = x.astype(wd)
     x0, x1, xa = x[0], x[1], x[2:]
-    nb_vals = blk["nb_vals"].astype(wd)
-    ya = jnp.sum(nb_vals * xa[blk["nb_safe"]], axis=1)
+    if blk.get("band") is not None and wd == jnp.float32:
+        # gather-free static banded matvec + the tiny dynamic
+        # vacancy-pair correction (f32 inner iterations only; the f64
+        # refinement matvec keeps the exact ELL path)
+        ya = _banded_nb_matvec(blk["band"], xa)
+        yv = jnp.sum(
+            blk["band_dyn_vals"] * xa[blk["band_vnb_safe"]], axis=1
+        )
+        ya = ya.at[blk["vidx"]].add(jnp.where(blk["v_ok"], yv, 0.0))
+    else:
+        nb_vals = blk["nb_vals"].astype(wd)
+        ya = jnp.sum(nb_vals * xa[blk["nb_safe"]], axis=1)
 
     # tunnel matmuls run in the blocks' storage dtype (f32 in mixed mode;
     # promoting to f64 would materialise multi-GB converted copies).  The
@@ -615,6 +644,84 @@ def _apply_X_blocks_mat(blk, X, wd):
     )
 
 
+def build_banded_nb(
+    geom: Geometry, params: PhysParams, state: SimState,
+    block: int = 256, max_bytes: int = 3 << 30,
+):
+    """Static banded-dense neighbour-conductance operator (built ONCE per
+    simulation; the gather-free inner-CG matvec).
+
+    The neighbour matrix decomposes exactly as
+
+        nb = -low_G * ADJ  - (high_G-low_G) * MM  - (high_G-low_G) * CVAC2
+
+    where ADJ (atom adjacency) and MM (metal-metal pairs) are STATIC — no
+    KMC event touches a metal site (the atom-set invariance,
+    structure.py:58) — and CVAC2 (uncharged-vacancy pairs,
+    src/current_solver.cpp:86-99) lives entirely on the <=tunnel_vac_cap
+    vacancy bucket.  The static part is laid out banded-dense over
+    x-sorted atoms (crossbar bandwidth 3,313 vs 7,572 in file order):
+    ``C[r, b, w]`` holds the coupling of permuted atom r*B+b to permuted
+    atom (r-p)*B+w, so the matvec is a sliding-window slice + one batched
+    MXU matmul — replacing the [Na x max_nn] dynamic gather that
+    dominated every CG iteration (~34 ms/iter at crossbar scale,
+    PERFORMANCE.md).  The permutation is internal to this operator: atom
+    ordering conventions elsewhere are untouched.
+
+    Returns None when the banded layout exceeds ``max_bytes`` (extreme
+    aspect ratios); callers fall back to the ELL gather."""
+    anb = np.asarray(geom.atom_neigh_idx)
+    Na = int(geom.N_atom)
+    ai = np.asarray(geom.atom_ind)
+    ax = np.asarray(geom.coords)[ai][:, 0]
+    pi = np.argsort(ax, kind="stable").astype(np.int32)
+    inv = np.empty_like(pi)
+    inv[pi] = np.arange(Na, dtype=np.int32)
+    rows = np.repeat(np.arange(Na, dtype=np.int64), anb.shape[1])
+    cols = anb.ravel().astype(np.int64)
+    msk = cols >= 0
+    rows, cols = rows[msk], cols[msk]
+    bw = int(np.abs(inv[rows] - inv[cols]).max()) if rows.size else 1
+    B = block
+    p = -(-bw // B)
+    m = 2 * p + 1
+    W = m * B
+    R = -(-Na // B)
+    if R * B * W * 4 > max_bytes:
+        return None
+    metal = np.asarray(geom.metal_mask_table)[np.asarray(state.element)[ai]]
+    high_G = float(params.high_G) * 1e5
+    low_G = float(params.low_G)
+    vals = np.where(
+        metal[rows] & metal[cols], -high_G, -low_G
+    ).astype(np.float32)
+    C = np.zeros((R, B, W), dtype=np.float32)
+    ri, ci = inv[rows], inv[cols]
+    C[ri // B, ri % B, ci - (ri // B - p) * B] = vals
+    return dict(C=jnp.asarray(C), pi=jnp.asarray(pi), inv=jnp.asarray(inv))
+
+
+def _banded_nb_matvec(band, xa):
+    """y = C_static @ x via sliding-window slices + one batched matmul.
+    No gathers except the two [Na] permutation reads."""
+    C = band["C"]
+    R, B, W = C.shape
+    m = W // B
+    p = (m - 1) // 2
+    Na = band["pi"].shape[0]
+    xperm = xa[band["pi"]].astype(jnp.float32)
+    xp = jnp.concatenate([
+        jnp.zeros(p * B, jnp.float32), xperm,
+        jnp.zeros((R + m - 1) * B - p * B - Na, jnp.float32),
+    ])
+    x2 = xp.reshape(R + m - 1, B)
+    xwin = jnp.concatenate([x2[k:k + R] for k in range(m)], axis=1)
+    y = jnp.einsum(
+        "rbw,rw->rb", C, xwin, preferred_element_type=jnp.float32
+    )
+    return y.reshape(R * B)[:Na][band["inv"]]
+
+
 def _deflation_ops(geom: Geometry, params: PhysParams, blk, d):
     """A-DEF2 deflation operators for the blocked transport CG, built in the
     Jacobi-SCALED metric (transport_precond="deflated").
@@ -639,11 +746,17 @@ def _deflation_ops(geom: Geometry, params: PhysParams, blk, d):
     dtype = params.dtype
     Nsub = geom.N_atom + 1
     Zm = _coarse_restriction(geom, params).T            # [Nsub, K] 0/1
-    cd = jnp.float32 if params.mixed else dtype
+    # AZ in FULL precision even in mixed mode: E's dominant entries come
+    # from the f64-exact high_G neighbour couplings (nb_vals/diag are
+    # stored f64 precisely because they set the diagonal), and with
+    # kappa(E) ~ 1e10 an f32-assembled E makes E^-1 worthless
+    # (measured on the timing crossbar: warm solves 10 -> 32 iterations).
+    # The tunnel blocks stay f32 inside _apply_X_blocks_mat — their
+    # ~1e-14-scale contributions are far below E's f64 floor.
     Xfull = jnp.concatenate(
-        [Zm.astype(cd), jnp.zeros((1, Zm.shape[1]), dtype=cd)], axis=0
+        [Zm, jnp.zeros((1, Zm.shape[1]), dtype=dtype)], axis=0
     )
-    AZ = _apply_X_blocks_mat(blk, Xfull, cd)[:Nsub].astype(dtype)
+    AZ = _apply_X_blocks_mat(blk, Xfull, dtype)[:Nsub]
     E = Zm.T @ AZ                                       # = Z^T A Z
     E_inv = _invert_coarse(E, dtype)
     ds = jnp.sqrt(jnp.where(d > 0, d, 1.0))
@@ -710,9 +823,11 @@ def update_power_blocked(
     nsi = params.num_source_inj
 
     # cc: either the raw metal block or the assemble_transport_cache dict
+    band = None
     if isinstance(cc, dict):
+        band = cc.get("band")
         cc = cc.get("cc")
-    blk = assemble_X_blocks(geom, params, state, cc=cc)
+    blk = assemble_X_blocks(geom, params, state, cc=cc, band=band)
     loop_G = blk["loop_G"]
     diag = blk["diag"]
 

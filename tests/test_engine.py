@@ -119,6 +119,99 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(sim2.state.T_bg) == float(sim.state.T_bg)
 
 
+def test_checkpoint_resume_bit_exact_through_bias_boundary(tmp_path):
+    """A run checkpointed mid-bias-point and resumed in a FRESH Simulation
+    must reproduce the uninterrupted trajectory bit-exactly: same element
+    state, RNG key, warm-start caches, kmc_time and final snapshot.  This
+    covers the three resume hazards: the bias-start CB edge must NOT be
+    recomputed from the mid-bias element state, the per-bias transport
+    cache must be rebuilt from the saved CB edge, and grown compaction
+    caps must survive the restart."""
+    T = 1e30   # step caps, not the time window, bound every segment
+    mk = lambda d: _make_cfg(d, V_switch=[2.0, 2.1], t_switch=[T, T])
+
+    # --- uninterrupted run A: 1 step of bias 0, 4 steps of bias 1
+    da = tmp_path / "a"; da.mkdir()
+    cfg_a, s = mk(da)
+    sim_a = Simulation(cfg_a, elements=s.elements, coords=s.coords)
+    sim_a.run_bias_point(2.0, T, max_steps=1)
+    sim_a._pos = (1, 0)
+    ra = sim_a.run_bias_point(2.1, T, max_steps=4)
+    assert ra["steps"] == 4
+
+    # --- run B: same trajectory, interrupted 2 steps into bias 1
+    db = tmp_path / "b"; db.mkdir()
+    cfg_b, _ = mk(db)
+    sim_b = Simulation(cfg_b, elements=s.elements, coords=s.coords)
+    sim_b.run_bias_point(2.0, T, max_steps=1)
+    ck_boundary = os.path.join(tmp_path, "boundary.npz")
+    sim_b._pos = (1, 0)
+    sim_b.save_checkpoint(ck_boundary)        # exactly at the boundary
+    sim_b.run_bias_point(2.1, T, max_steps=2)
+    assert sim_b._pos == (1, 2)
+    ckpt = os.path.join(tmp_path, "mid.npz")
+    sim_b.save_checkpoint(ckpt)
+
+    # --- run C: FRESH simulation resumed mid-bias from the checkpoint
+    dc = tmp_path / "c"; dc.mkdir()
+    cfg_c, _ = mk(dc)
+    sim_c = Simulation(cfg_c, elements=s.elements, coords=s.coords)
+    sim_c.load_checkpoint(ckpt)
+    assert sim_c._pos == (1, 2)
+    sim_c.run_bias_point(2.1, T, max_steps=4, resume_step=2)
+
+    # --- run D: resumed AT the bias boundary through run() (skips bias 0)
+    dd = tmp_path / "d"; dd.mkdir()
+    cfg_d, _ = mk(dd)
+    sim_d = Simulation(cfg_d, elements=s.elements, coords=s.coords)
+    sim_d.load_checkpoint(ck_boundary)
+    assert sim_d._pos == (1, 0)
+    sim_d.run(max_steps_per_bias=4)
+
+    for sim_x, tag in ((sim_c, "mid-bias"), (sim_d, "boundary")):
+        for f in ("element", "charge", "key", "kmc_time", "I_macro",
+                  "virtual_potentials", "T_bg", "cvac_prev", "Vd_prev",
+                  "CB_edge"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sim_x.state, f)),
+                np.asarray(getattr(sim_a.state, f)),
+                err_msg=f"{tag}:{f}",
+            )
+    # bias-1 snapshots from the resume point on are byte-identical
+    fa = os.path.join(da, "Results_2.100000")
+    fc = os.path.join(dc, "Results_2.100000")
+    snaps_c = sorted(
+        os.listdir(fc), key=lambda f: int(f.split("_")[1].split(".")[0])
+    )
+    assert len(snaps_c) >= 2
+    for snap in snaps_c:
+        assert open(os.path.join(fa, snap)).read() == \
+            open(os.path.join(fc, snap)).read(), snap
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """Orbax directory checkpoints round-trip the full payload (state +
+    caps + driver position) identically to npz."""
+    pytest.importorskip("orbax.checkpoint")
+    cfg, s = _make_cfg(tmp_path)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim.run_bias_point(2.0, 1e-12, max_steps=2)
+    sim._pos = (0, 2)
+    sim.save_checkpoint(str(tmp_path / "ck_orbax"), backend="orbax")
+    sim.save_checkpoint(str(tmp_path / "ck.npz"))
+
+    sim2 = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim2.load_checkpoint(str(tmp_path / "ck_orbax"), backend="orbax")
+    sim3 = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim3.load_checkpoint(str(tmp_path / "ck.npz"))
+    assert sim2._pos == sim3._pos == (0, 2)
+    for f in ("element", "key", "kmc_time", "virtual_potentials"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim2.state, f)),
+            np.asarray(getattr(sim3.state, f)), err_msg=f,
+        )
+
+
 def test_modular_driver_emits_timing_keys(tmp_path):
     cfg, s = _make_cfg(tmp_path)
     sim = Simulation(cfg, elements=s.elements, coords=s.coords, fused=False)

@@ -358,6 +358,55 @@ def test_blocked_chunked_assembly_matches_direct(small_sim, monkeypatch):
     assert 0 <= needed <= current_mod.MAX_TUNNEL_STEPS
 
 
+def test_banded_nb_matvec_matches_ell(small_sim):
+    """The static banded matvec + vacancy-bucket correction equals the
+    f32 ELL neighbour gather term exactly (same values, different
+    summation order -> f32 round-off tolerance)."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(
+        transport="blocked", tunnel_vac_cap=max(16, n_vac + 4), mixed=True
+    )
+    band = current_mod.build_banded_nb(geom, pb, state, block=32)
+    blk = current_mod.assemble_X_blocks(geom, pb, state, band=band)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(geom.N_atom + 2), dtype=jnp.float32)
+    y_band = current_mod._apply_X_blocks(blk, x, jnp.float32)
+    blk.pop("band")
+    y_ell = current_mod._apply_X_blocks(blk, x, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(y_band), np.asarray(y_ell), rtol=1e-5,
+        atol=1e-5 * float(np.abs(np.asarray(y_ell)).max()),
+    )
+
+
+def test_blocked_banded_update_power_matches_dense(small_sim):
+    """End-to-end banded blocked transport == dense direct (the banded
+    operator only changes the f32 inner iterations; f64 refinement uses
+    the exact ELL path, so accuracy is unchanged)."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    st_d, _ = current_mod.update_power(geom, params, state, Vd, method="direct")
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(
+        transport="blocked", tunnel_vac_cap=max(16, n_vac + 4), mixed=True,
+        transport_precond="deflated", coarse_slabs=8,
+    )
+    band = current_mod.build_banded_nb(geom, pb, state, block=32)
+    st_b, mb = current_mod.update_power(
+        geom, pb, state, Vd, cc={"band": band}
+    )
+    np.testing.assert_allclose(
+        float(st_b.I_macro), float(st_d.I_macro), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_b.power), np.asarray(st_d.power),
+        rtol=1e-2, atol=1e-6 * float(np.abs(np.asarray(st_d.power)).max() + 1e-300),
+    )
+    assert int(mb["cg_iters_power"]) < 2000
+
+
 def test_blocked_deflated_precond_matches_dense(small_sim):
     """A-DEF2 deflated blocked solve (scaled-metric x-slab deflation) ==
     dense, in both f64 and mixed modes, and the cold solve takes FEWER
