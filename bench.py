@@ -183,6 +183,52 @@ def build_synthetic_sim(n_sites: int, precision: str):
     return geom, params, build_params(cfg), heat_mod.empty_heat_model(params), state
 
 
+def build_synthetic_crossbar_sim(n_sites: int, precision: str):
+    """Synthetic crossbar (structure.make_crossbar_structure) scaled to
+    ~n_sites, same modules as the headline bench (charge + potentials +
+    events).  Matches the reference crossbar's composition and neighbour
+    statistics (~110.8k sites, max_nn ~52-55, mean_nn ~27) so the
+    200k-750k scaling study does not depend on reference xyz files."""
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.physics import heat as heat_mod
+    from devicekmc_tpu.state import (
+        build_geometry, build_params, init_state, make_substoichiometric,
+    )
+    from devicekmc_tpu.structure import build_neighbor_list, make_crossbar_structure
+
+    # sites/cell along the stack: 2*nxc + nx_ox*(1 + f) per ny*nz column
+    nxc, nxo, f = 10, 24, 0.74
+    col = 2 * nxc + nxo * (1 + f)
+    ny = nz = max(8, int(round((n_sites / col) ** 0.5)))
+    s = make_crossbar_structure(nx_contact=nxc, nx_oxide=nxo, ny=ny, nz=nz,
+                                seed=1)
+    cfg = KMCConfig(
+        lattice=list(s.lattice), nn_dist=3.5, pbc=False,
+        num_atoms_first_layer=s.num_atoms_first_layer,
+        num_layers_contact=s.num_layers_contact,
+        num_atoms_contact=s.num_atoms_contact,
+        layers=s.layers,
+        solve_potential=True, solve_current=False,
+        perturb_structure=True, precision=precision,
+        poisson_compact_cap=8192, solver_tol=1e-8,
+    )
+    elems = make_substoichiometric(s.elements, 0.02, seed=5)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"nb_syncb_{len(elems)}.npz")
+    if os.path.exists(cache):
+        neigh_idx = np.load(cache)["neigh_idx"]
+    else:
+        t0 = time.time()
+        neigh_idx = build_neighbor_list(s.coords, cfg.lattice, cfg.nn_dist, cfg.pbc)
+        print(f"# neighbor list built in {time.time()-t0:.1f}s "
+              f"(max_nn={neigh_idx.shape[1]})", file=sys.stderr)
+        np.savez_compressed(cache, neigh_idx=neigh_idx)
+    geom = build_geometry(elems, s.coords, cfg, neigh_idx=neigh_idx)
+    params = build_params(cfg)
+    state = init_state(geom, cfg, elems)
+    return geom, params, heat_mod.empty_heat_model(params), state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
@@ -193,6 +239,9 @@ def main():
              "(validated against f64, tools/precision_study.py)",
     )
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--synthetic-crossbar", type=int, default=0,
+                    help="headline modules on a synthetic crossbar of "
+                         "~N sites (scaling studies without reference xyz)")
     ap.add_argument("--full", action="store_true",
                     help="full coupled pipeline (incl. transport+heat) on the "
                          "9030-site reference device instead of the crossbar")
@@ -223,6 +272,10 @@ def main():
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)
+    elif args.synthetic_crossbar:
+        geom, params, heat, state = build_synthetic_crossbar_sim(
+            args.synthetic_crossbar, args.precision
+        )
     elif args.synthetic or not os.path.exists(CROSSBAR_XYZ):
         geom, params, _, heat, state = build_synthetic_sim(
             args.synthetic or 100_000, args.precision

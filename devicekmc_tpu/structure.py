@@ -410,3 +410,87 @@ def make_test_structure(
         num_atoms_contact=nx_contact * ny * nz,
         num_layers_contact=nx_contact,
     )
+
+
+def make_crossbar_structure(
+    nx_contact: int = 10,
+    nx_oxide: int = 24,
+    ny: int = 42,
+    nz: int = 42,
+    a: float = 2.13,
+    jitter: float = 0.25,
+    interstitial_fraction: float = 0.74,
+    seed: int = 0,
+) -> GeneratedStructure:
+    """Synthetic crossbar-class structure at arbitrary scale.
+
+    Mirrors the composition of the reference's timing crossbar
+    (structures/crossbars/timing_10nm_5pitch/crossbar_10_5.xyz: TiN plate
+    contacts of 10 x-planes, amorphous HfO2 oxide with Hf:O = 1:2, plus a
+    separate interstitial ('d') population at ~0.74 per oxide cell —
+    75,360 lattice + 35,453 interstitial = 110,813 sites) without
+    depending on the reference xyz files: contacts are crystalline
+    Ti/N planes; the oxide is a jittered cubic HfO2-like lattice (1 Hf +
+    2 O per cell, Gaussian ``jitter`` making the neighbour count
+    distribution amorphous-like); interstitials are uniform in the oxide
+    region.  Defaults give ~115k sites; scale ny/nz/nx_oxide for the
+    200k-750k scaling studies."""
+    from .config import Layer
+
+    rng = np.random.default_rng(seed)
+    elems: List[int] = []
+    coords: List[List[float]] = []
+
+    nx_total = 2 * nx_contact + nx_oxide
+    ox_lo, ox_hi = nx_contact * a, (nx_contact + nx_oxide) * a
+    for ix in range(nx_total):
+        in_left = ix < nx_contact
+        in_right = ix >= nx_contact + nx_oxide
+        for iy in range(ny):
+            for iz in range(nz):
+                x, y, z = ix * a, iy * a, iz * a
+                if in_left or in_right:
+                    e = Element.Ti if (ix + iy + iz) % 2 else Element.N
+                    elems.append(int(e))
+                    coords.append([x, y, z])
+                else:
+                    # HfO2-like: one jittered site per cell, Hf:O = 1:2
+                    # (matches the reference oxide's ~0.09 sites/A^3)
+                    e = Element.Hf if (ix + iy + iz) % 3 == 0 else Element.O
+                    j = rng.normal(0.0, jitter, 3)
+                    px = float(np.clip(x + j[0], ox_lo + 0.1,
+                                       ox_hi - a * 0.5 - 0.1))
+                    elems.append(int(e))
+                    coords.append([px, y + j[1], z + j[2]])
+
+    n_inter = int(interstitial_fraction * nx_oxide * ny * nz)
+    ix_ = rng.uniform(ox_lo + 0.3 * a, ox_hi - 0.8 * a, n_inter)
+    iy_ = rng.uniform(0, (ny - 1) * a, n_inter)
+    iz_ = rng.uniform(0, (nz - 1) * a, n_inter)
+    for k in range(n_inter):
+        elems.append(int(Element.DEFECT))
+        coords.append([float(ix_[k]), float(iy_[k]), float(iz_[k])])
+
+    coords_np = np.array(coords, dtype=np.float64)
+    elems_np = np.array(elems, dtype=np.int32)
+    order = np.lexsort((coords_np[:, 2], coords_np[:, 1], coords_np[:, 0]))
+    coords_np, elems_np = coords_np[order], elems_np[order]
+
+    lattice = np.array([nx_total * a, ny * a, nz * a], dtype=np.float64)
+    eps = 0.5 * a
+    layers = [
+        Layer("contact", 0.0, 0.0, 0.0, 0.76, -eps, ox_lo - eps),
+        Layer("interface", 3.93, 0.0, 1.09, 0.76, ox_lo - eps, ox_lo + a + eps),
+        Layer("oxide", 3.93, 0.0, 1.09, 0.76, ox_lo + a + eps, ox_hi - a - eps),
+        Layer("interface", 1.66, 0.0, 1.09, 0.76, ox_hi - a - eps, ox_hi + eps),
+        Layer("contact", 1.73, 0.0, 0.0, 2.8, ox_hi + eps, nx_total * a + eps),
+    ]
+    return GeneratedStructure(
+        elements=elems_np,
+        coords=coords_np,
+        lattice=lattice,
+        layers=layers,
+        num_atoms_first_layer=ny * nz,
+        num_atoms_contact=nx_contact * ny * nz,
+        num_layers_contact=nx_contact,
+    )

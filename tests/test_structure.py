@@ -127,3 +127,37 @@ def test_native_matches_numpy_neighbor_list():
         )
         b = st._build_neighbor_list_numpy(coords, lattice, 3.0, pbc)
         np.testing.assert_array_equal(a, b)
+
+
+def test_make_crossbar_structure():
+    """Synthetic crossbar generator: reference-like composition (Hf:O =
+    1:2, TiN plate contacts, 'd' interstitials), x-sorted with the
+    prefix/suffix contact convention, and reference-like neighbour
+    statistics under nn_dist=3.5."""
+    from devicekmc_tpu.config import KMCConfig
+    from devicekmc_tpu.state import build_geometry
+    from devicekmc_tpu.structure import Element, make_crossbar_structure
+
+    s = make_crossbar_structure(nx_contact=4, nx_oxide=8, ny=10, nz=10, seed=2)
+    e = s.elements
+    n_hf = (e == int(Element.Hf)).sum()
+    n_o = (e == int(Element.O)).sum()
+    assert abs(n_o / n_hf - 2.0) < 0.2
+    assert (e == int(Element.DEFECT)).sum() > 0
+    # contacts are file-prefix/suffix
+    nc = s.num_atoms_contact
+    metals = {int(Element.Ti), int(Element.N)}
+    assert set(e[:nc].tolist()) <= metals
+    assert set(e[-nc:].tolist()) <= metals
+    assert set(e[nc:-nc].tolist()).isdisjoint(metals)
+    assert s.num_atoms_first_layer == 100
+
+    cfg = KMCConfig(lattice=list(s.lattice), nn_dist=3.5, pbc=False,
+                    num_atoms_first_layer=s.num_atoms_first_layer,
+                    num_layers_contact=s.num_layers_contact,
+                    num_atoms_contact=s.num_atoms_contact, layers=s.layers)
+    geom = build_geometry(s.elements, s.coords, cfg)
+    nb = np.asarray(geom.neigh_idx)
+    mean_nn = float((nb >= 0).sum(1).mean())
+    assert 15 < mean_nn < 40        # reference crossbar: ~27
+    assert nb.shape[1] < 80         # reference: 52
