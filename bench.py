@@ -34,13 +34,14 @@ CROSSBAR_XYZ = os.path.join(CROSSBAR_DIR, "reordered_crossbar_10_5_initial.xyz")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
-def build_crossbar_sim(precision: str):
+def build_crossbar_sim(precision: str, pad_to: int = 1, site_order: str = "file"):
     from devicekmc_tpu.config import KMCConfig
     from devicekmc_tpu.physics import heat as heat_mod
     from devicekmc_tpu.state import build_geometry, build_params, init_state
     from devicekmc_tpu.structure import build_neighbor_list, read_xyz
 
     cfg = KMCConfig(
+        site_order=site_order,
         lattice=[108.98, 102.3, 102.3],
         nn_dist=3.5,
         pbc=False,
@@ -81,14 +82,16 @@ def build_crossbar_sim(precision: str):
               f"(max_nn={neigh_idx.shape[1]})", file=sys.stderr)
         np.savez_compressed(cache, neigh_idx=neigh_idx)
 
-    geom = build_geometry(elements, coords, cfg, neigh_idx=neigh_idx)
+    geom = build_geometry(
+        elements, coords, cfg, neigh_idx=neigh_idx, pad_to=pad_to
+    )
     params = build_params(cfg)
     state = init_state(geom, cfg, elements)
     heat = heat_mod.empty_heat_model(params)
     return geom, params, heat, state
 
 
-def build_full_crossbar_sim(precision: str, vd: float, precond: str = "jacobi"):
+def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"):
     """FULL physics (charge + potentials + KMC + transport + heat) on the
     75,360-atom reference crossbar — beyond the reference's demonstrated
     envelope (its committed crossbar timing runs exclude the current solve;
@@ -183,7 +186,9 @@ def build_synthetic_sim(n_sites: int, precision: str):
     return geom, params, build_params(cfg), heat_mod.empty_heat_model(params), state
 
 
-def build_synthetic_crossbar_sim(n_sites: int, precision: str):
+def build_synthetic_crossbar_sim(
+    n_sites: int, precision: str, pad_to: int = 1, site_order: str = "file",
+):
     """Synthetic crossbar (structure.make_crossbar_structure) scaled to
     ~n_sites, same modules as the headline bench (charge + potentials +
     events).  Matches the reference crossbar's composition and neighbour
@@ -204,6 +209,7 @@ def build_synthetic_crossbar_sim(n_sites: int, precision: str):
                                 seed=1)
     cfg = KMCConfig(
         lattice=list(s.lattice), nn_dist=3.5, pbc=False,
+        site_order=site_order,
         num_atoms_first_layer=s.num_atoms_first_layer,
         num_layers_contact=s.num_layers_contact,
         num_atoms_contact=s.num_atoms_contact,
@@ -223,7 +229,9 @@ def build_synthetic_crossbar_sim(n_sites: int, precision: str):
         print(f"# neighbor list built in {time.time()-t0:.1f}s "
               f"(max_nn={neigh_idx.shape[1]})", file=sys.stderr)
         np.savez_compressed(cache, neigh_idx=neigh_idx)
-    geom = build_geometry(elems, s.coords, cfg, neigh_idx=neigh_idx)
+    geom = build_geometry(
+        elems, s.coords, cfg, neigh_idx=neigh_idx, pad_to=pad_to
+    )
     params = build_params(cfg)
     state = init_state(geom, cfg, elems)
     return geom, params, heat_mod.empty_heat_model(params), state
@@ -249,11 +257,26 @@ def main():
                     help="full coupled pipeline on the 75,360-atom crossbar "
                          "via the blocked matrix-free transport operator")
     ap.add_argument("--vd", type=float, default=None)
-    ap.add_argument("--precond", default="jacobi", choices=["jacobi", "deflated"],
+    ap.add_argument("--precond", default="deflated", choices=["jacobi", "deflated"],
                     help="blocked-transport CG preconditioning (full-crossbar)")
     ap.add_argument("--no-banded", action="store_true",
                     help="disable the static banded neighbour matvec "
                          "(full-crossbar; falls back to the ELL gather)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the superstep over an N-device mesh "
+                         "(sharded-path overhead measurement; headline "
+                         "modules only)")
+    ap.add_argument("--decomposition", default="replicate",
+                    choices=["replicate", "halo"],
+                    help="mesh decomposition: replicated field vectors vs "
+                         "x-slab halo exchange (forces site_order=x)")
+    ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
+                    help="compacted-Poisson pair sweep implementation "
+                         "(pallas: VMEM-resident Mosaic kernel, TPU only)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (use with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "for virtual-mesh runs)")
     ap.add_argument("--batch", type=int, default=1,
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
@@ -263,7 +286,25 @@ def main():
 
     import jax
 
+    if args.cpu:
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+
     from devicekmc_tpu.superstep import superstep_impl
+
+    pad_to = 1
+    if args.mesh:
+        if args.full or args.full_crossbar or args.batch > 1:
+            ap.error("--mesh covers the headline modules (no --full/--batch)")
+        if args.decomposition == "halo":
+            from devicekmc_tpu.physics.events import _BLOCK
+
+            pad_to = args.mesh * _BLOCK
+        else:
+            pad_to = args.mesh
+    site_order = "x" if (args.mesh and args.decomposition == "halo") else "file"
 
     if args.full_crossbar:
         vd0 = args.vd if args.vd is not None else 1.0
@@ -274,14 +315,20 @@ def main():
         geom, params, heat, state = build_full_physics_sim(args.precision)
     elif args.synthetic_crossbar:
         geom, params, heat, state = build_synthetic_crossbar_sim(
-            args.synthetic_crossbar, args.precision
+            args.synthetic_crossbar, args.precision,
+            pad_to=pad_to, site_order=site_order,
         )
     elif args.synthetic or not os.path.exists(CROSSBAR_XYZ):
         geom, params, _, heat, state = build_synthetic_sim(
             args.synthetic or 100_000, args.precision
         )
     else:
-        geom, params, heat, state = build_crossbar_sim(args.precision)
+        geom, params, heat, state = build_crossbar_sim(
+            args.precision, pad_to=pad_to, site_order=site_order
+        )
+
+    if args.poisson_kernel != "jnp":
+        params = params.replace(poisson_kernel=args.poisson_kernel)
 
     print(f"# N={geom.N} sites, max_nn={geom.max_nn}, "
           f"backend={jax.default_backend()}, precision={args.precision}",
@@ -293,7 +340,29 @@ def main():
 
     from devicekmc_tpu.superstep import multi_superstep_impl
 
-    if args.batch > 1:
+    if args.mesh:
+        from devicekmc_tpu.parallel import (
+            make_mesh, make_sharded_superstep, shard_simulation,
+        )
+
+        mesh = make_mesh(args.mesh)
+        if args.decomposition == "halo":
+            from devicekmc_tpu.parallel.halo_superstep import (
+                make_halo_superstep, required_halo, shard_halo_simulation,
+            )
+
+            halo = required_halo(geom)
+            print(f"# halo decomposition: {args.mesh} slabs, "
+                  f"halo width {halo}", file=sys.stderr)
+            geom, state = shard_halo_simulation(geom, state, mesh)
+            sfn = make_halo_superstep(geom, params, heat, mesh, halo)
+        else:
+            geom, state = shard_simulation(geom, state, mesh)
+            sfn = make_sharded_superstep(geom, params, heat, mesh)
+
+        def step(geom, params, heat, state, Vd, cc=None):
+            return sfn(state, Vd, cc)
+    elif args.batch > 1:
         mstep = jax.jit(partial(multi_superstep_impl, n_steps=args.batch))
 
         def step(geom, params, heat, state, Vd, cc=None):
@@ -357,6 +426,8 @@ def main():
             extra = ""
             if "cg_iters_power" in metrics:
                 extra += f", cg_pow={int(metrics['cg_iters_power'])}"
+            if "transport_rel0" in metrics:
+                extra += f", rel0={float(metrics['transport_rel0']):.2e}"
             if "tunnel_int_steps_needed" in metrics:
                 extra += f", int_steps={int(metrics['tunnel_int_steps_needed'])}"
             if "n_vac_atoms" in metrics:

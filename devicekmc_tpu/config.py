@@ -172,7 +172,7 @@ class KMCConfig:
                                            # a genuine CPU/GPU divergence in the
                                            # reference; use this for cross-validation
                                            # against the CPU binary)
-    transport_precond: str = "jacobi"      # "jacobi" | "deflated": A-DEF2 deflation of the
+    transport_precond: str = "deflated"    # "jacobi" | "deflated": A-DEF2 deflation of the
                                            # blocked transport CG in the Jacobi-scaled
                                            # metric (x-slab Galerkin coarse space; cuts
                                            # hard re-solve iterations without hurting
@@ -183,6 +183,11 @@ class KMCConfig:
                                            # blocks over {vacancy, interior-metal} only —
                                            # O(N_atom*max_nn + |active|^2) memory, enables
                                            # full physics at crossbar scale)
+    poisson_kernel: str = "jnp"            # compacted-Poisson pair sweep: "jnp" (blocked
+                                           # lax.map) | "pallas" (VMEM-resident charged set,
+                                           # ops/pairwise_pallas.py; the driver test-compiles
+                                           # it and falls back to jnp if the TPU Mosaic
+                                           # compiler rejects it)
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -249,6 +254,7 @@ _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
     "transport", "transport_precond", "bc_pinned_width", "site_order",
+    "poisson_kernel",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

@@ -234,6 +234,32 @@ class Simulation:
             self.params = self.params.replace(
                 tunnel_vac_cap=self._auto_poisson_cap()
             )
+        if self.params.poisson_kernel == "pallas":
+            # the remote Mosaic compiler is not always available: test-compile
+            # the kernel on a tiny problem and fall back to the jnp sweep
+            try:
+                from .ops.pairwise_pallas import (
+                    on_tpu_default_device, poisson_pairwise_pallas,
+                )
+
+                _v = poisson_pairwise_pallas(
+                    jnp.zeros((8, 3)) + jnp.arange(8)[:, None],
+                    jnp.arange(8, dtype=jnp.int32),
+                    jnp.ones(8), jnp.asarray(3.5e-10), jnp.asarray(1.0),
+                    jnp.asarray([20.0, 20.0, 20.0]), False,
+                    interpret=not on_tpu_default_device(),
+                )
+                jax.block_until_ready(_v)
+            except Exception as e:   # Mosaic rejection / unsupported device
+                import sys
+
+                print(
+                    f"WARNING: pallas Poisson kernel unavailable "
+                    f"({type(e).__name__}); falling back to jnp",
+                    file=sys.stderr,
+                )
+                self.params = self.params.replace(poisson_kernel="jnp")
+
         if self.decomposition == "halo":
             from .parallel.halo_superstep import make_halo_superstep
 

@@ -14,16 +14,23 @@ reference logs it at src/iterative_solvers_gpu.cu:456).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+#: env-gated per-outer-round diagnostics (rel residual, inner iterations)
+_CG_DEBUG = bool(os.environ.get("DKMC_CG_DEBUG"))
 
 
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray       # int32
     residual: jnp.ndarray    # final ||r||
+    rel0: jnp.ndarray = jnp.nan   # initial relative residual ||r0||/||b||
+                                  # (cg_solve_mixed only; solve-hardness
+                                  # observability for the deflation gate)
 
 
 def cg_solve(
@@ -117,6 +124,7 @@ def cg_solve_mixed(
     inner_maxiter: int = 300,
     inner_precond: Optional[Callable] = None,
     inner_start: Optional[Callable] = None,
+    inner_gate_rel: Optional[float] = None,
 ) -> CGResult:
     """Mixed-precision CG with iterative refinement.
 
@@ -131,11 +139,16 @@ def cg_solve_mixed(
     b/x0/diag are f64 (or the working precision); the result is f64.
 
     ``inner_precond`` / ``inner_start``: optional preconditioner
-    application r -> M^-1 r and start-vector map b -> x0 for the inner f32
-    solves (used by the A-DEF2 deflated transport CG, which requires the
-    special start vector Z E^-1 Z^T b for stability).  Any inexactness in
-    the inner solve only costs iterations — the outer f64 residuals are
-    computed with the true operator, so the refined answer is exact.
+    application and start-vector map for the inner f32 solves (used by the
+    A-DEF2 deflated transport CG, which requires the special start vector
+    Z E^-1 Z^T b for stability).  Any inexactness in the inner solve only
+    costs iterations — the outer f64 residuals are computed with the true
+    operator, so the refined answer is exact.
+
+    With ``inner_gate_rel`` set, both callables take ``(r, gate)`` where
+    ``gate`` is a traced bool: True when the refinement round's relative
+    residual ||r||/||b|| exceeds the threshold (a "hard" round that wants
+    the extra machinery), False on easy warm rounds.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -158,19 +171,32 @@ def cg_solve_mixed(
         rnorm = jnp.sqrt(jnp.dot(r, r))
         scale = jnp.where(rnorm > 0, rnorm, 1.0)
         b_in = (r / scale).astype(lo)
+        pre, start = inner_precond, inner_start
+        if inner_gate_rel is not None:
+            gate = rnorm > inner_gate_rel * jnp.where(bnorm > 0, bnorm, 1.0)
+            if inner_precond is not None:
+                pre = lambda rr: inner_precond(rr, gate)
+            if inner_start is not None:
+                start = lambda bb: inner_start(bb, gate)
         inner = cg_solve(
             matvec_lo,
             b_in,
-            x0=inner_start(b_in) if inner_start is not None else None,
+            x0=start(b_in) if start is not None else None,
             diag=diag_lo,
             tol=inner_tol,
             maxiter=inner_maxiter,   # bounded: f32 CG stagnates at its
                                      # precision floor; refinement outer
                                      # iterations do the rest
-            precond=inner_precond,
+            precond=pre,
         )
         x = x + inner.x.astype(b.dtype) * scale
         r = b - matvec_hi(x)
+        if _CG_DEBUG:
+            jax.debug.print(
+                "cg_mixed outer {o}: rel={rel:.3e} inner_iters={it}",
+                o=it_out, rel=rnorm / jnp.where(bnorm > 0, bnorm, 1.0),
+                it=inner.iters,
+            )
         return (x, r, it_out + 1, it_in + inner.iters)
 
     r0 = b - matvec_hi(x0)
@@ -180,5 +206,6 @@ def cg_solve_mixed(
         (x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
     return CGResult(
-        x=x, iters=inner_iters, residual=jnp.sqrt(jnp.dot(r, r))
+        x=x, iters=inner_iters, residual=jnp.sqrt(jnp.dot(r, r)),
+        rel0=jnp.sqrt(jnp.dot(r0, r0)) / jnp.where(bnorm > 0, bnorm, 1.0),
     )

@@ -31,6 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_TILE = 512
 
 
+def on_tpu_default_device() -> bool:
+    """True when computations target a real TPU.  ``jax.default_backend()``
+    alone is wrong here: the axon TPU plugin registers regardless of
+    JAX_PLATFORMS, so a CPU-pinned session still reports backend "tpu" —
+    check the pinned default device first."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _erfc_pos(x):
     """erfc for x >= 0 via Abramowitz & Stegun 7.1.26."""
     t = 1.0 / (1.0 + 0.3275911 * x)
@@ -127,19 +138,24 @@ def poisson_pairwise_pallas(
             (cap, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
 
-    out = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row_spec(), row_spec(), row_spec(), row_spec(),
-            col_spec(), col_spec(), col_spec(), col_spec(), col_spec(),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, ROW_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, np_tot), f32),
-        interpret=interpret,
-    )(scal, xr, yr, zr, ir, cx, cy, cz, cq, ci)
+    # trace the pallas_call with x64 OFF: under jax_enable_x64 the grid
+    # machinery emits i64 index scalars that Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return' (i64, i64)"); every
+    # operand here is already f32/i32 so the narrowed trace is exact
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                row_spec(), row_spec(), row_spec(), row_spec(),
+                col_spec(), col_spec(), col_spec(), col_spec(), col_spec(),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ROW_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, np_tot), f32),
+            interpret=interpret,
+        )(scal, xr, yr, zr, ir, cx, cy, cz, cq, ci)
 
     return out.reshape(-1)[:n]

@@ -53,6 +53,16 @@ from ..structure import Element
 #: (reference: src/current_solver.cpp:13, G0 = 2 * 3.8612e-5 * 1e-5)
 G0 = 2.0 * 3.8612e-5 * 1e-5
 
+#: relative-residual threshold above which a refinement round engages the
+#: A-DEF2 deflation; 0.0 = always on.  Crossbar measurement (the rel0
+#: metric): deflation HELPS the tiny-residual re-solves (rel0 ~ 2e-8 when
+#: a vacancy disappears and the potential redistributes globally/smoothly:
+#: 213 -> 115 iters) and mildly hurts the larger-residual local solves
+#: (rel0 ~ 3e-4 when a vacancy appears: 10 -> 30 iters) — i.e. hardness is
+#: NOT monotone in rel0, so no threshold beats always-on; the gate is kept
+#: as tunable observability machinery.
+DEFLATION_GATE_REL = 0.0
+
 #: energy spacing of the contact->trap integration [V]
 #: (src/current_solver.cpp:111)
 DV_INT = 0.01
@@ -759,10 +769,19 @@ def _deflation_ops(geom: Geometry, params: PhysParams, blk, d):
     AZ = _apply_X_blocks_mat(blk, Xfull, dtype)[:Nsub]
     E = Zm.T @ AZ                                       # = Z^T A Z
     E_inv = _invert_coarse(E, dtype)
+
+    def coarse_solve(a):
+        # one iterative-refinement step on the K x K solve: kappa(E)~1e10
+        # leaves the raw Cholesky inverse ~1e-6 accurate, and the residual
+        # drift it induces in the inner CG was measured to stall warm
+        # solves at ~30 iterations (crossbar)
+        c = E_inv @ a
+        return c + E_inv @ (a - E @ c)
+
     ds = jnp.sqrt(jnp.where(d > 0, d, 1.0))
     Zhat = ds[:, None] * Zm
     W = AZ / ds[:, None]
-    return Zhat, W, E_inv
+    return Zhat, W, coarse_solve
 
 
 def _pdisp_rows_cols(E, ms_r, ms_c, Vd, chunk: int = 2048):
@@ -844,7 +863,7 @@ def update_power_blocked(
     x_init = state.virtual_potentials[:Nsub]
     deflate = params.transport_precond == "deflated"
     if deflate:
-        Zhat, W, E_inv = _deflation_ops(geom, params, blk, d)
+        Zhat, W, esolve = _deflation_ops(geom, params, blk, d)
     if params.mixed:
         # Jacobi-scaled f32 CG + f64 iterative refinement — the same scheme
         # (and measured accuracy, ~4e-7 on I) as the dense mixed path.
@@ -860,15 +879,18 @@ def update_power_blocked(
             W32 = W.astype(jnp.float32)
 
             def _coarse_f32(coeff):
-                # E^-1 application stays f64: E carries f32 assembly error
-                # but kappa(E) ~ 1e10 makes an f32 *solve* garbage
-                return (E_inv @ coeff.astype(dtype)).astype(jnp.float32)
+                # the coarse solve stays f64 (kappa(E) ~ 1e10 makes an
+                # f32 solve garbage); cast at the boundary only
+                return esolve(coeff.astype(dtype)).astype(jnp.float32)
 
-            def inner_precond(r):
-                return r + Zh32 @ _coarse_f32(Zh32.T @ r - W32.T @ r)
+            # per-round gate (see DEFLATION_GATE_REL; shipped always-on)
+            def inner_precond(r, gate):
+                g = jnp.where(gate, 1.0, 0.0).astype(jnp.float32)
+                return r + g * (Zh32 @ _coarse_f32(Zh32.T @ r - W32.T @ r))
 
-            def inner_start(b):
-                return Zh32 @ _coarse_f32(Zh32.T @ b)
+            def inner_start(b, gate):
+                g = jnp.where(gate, 1.0, 0.0).astype(jnp.float32)
+                return g * (Zh32 @ _coarse_f32(Zh32.T @ b))
 
         res = cg_solve_mixed(
             lambda y: dsi * apply_sub(dsi * y, dtype),
@@ -879,6 +901,7 @@ def update_power_blocked(
             tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
             maxiter=cg_maxiter,
             inner_precond=inner_precond, inner_start=inner_start,
+            inner_gate_rel=DEFLATION_GATE_REL if deflate else None,
         )
         v = res.x * dsi
         cg_iters = res.iters
@@ -892,13 +915,13 @@ def update_power_blocked(
         y0 = x_init * ds
         y0 = (
             y0
-            - Zhat @ (E_inv @ (W.T @ y0))       # P^T y0
-            + Zhat @ (E_inv @ (Zhat.T @ b_s))   # + Z^ E^-1 Z^^T b
+            - Zhat @ esolve(W.T @ y0)           # P^T y0
+            + Zhat @ esolve(Zhat.T @ b_s)       # + Z^ E^-1 Z^^T b
         )
         res = cg_solve(
             lambda y: dsi * apply_sub(dsi * y, dtype), b_s,
             x0=y0,
-            precond=lambda r: r + Zhat @ (E_inv @ (Zhat.T @ r - W.T @ r)),
+            precond=lambda r: r + Zhat @ esolve(Zhat.T @ r - W.T @ r),
             tol=cg_tol, maxiter=cg_maxiter, criterion="r",
         )
         v = res.x * dsi
@@ -973,6 +996,7 @@ def update_power_blocked(
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
         "cg_iters_power": cg_iters,
+        "transport_rel0": getattr(res, "rel0", jnp.nan),
         "contact_potential_drop": contact_drop,
         "tunnel_int_steps_needed": blk["int_steps_needed"],
     }

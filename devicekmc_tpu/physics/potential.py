@@ -299,10 +299,32 @@ def poisson_gridless_compact(
     block: int = 512,
 ):
     """Charged-site-compacted Poisson.  Returns (state, n_charged); the
-    driver should verify n_charged <= cap (exactness condition).
+    driver verifies n_charged <= cap (exactness condition) and redoes the
+    step with a grown cap on overflow.
 
     In mixed mode the pair sweep runs in f32 (validated ~1e-7 relative
-    against f64, tools/precision_study.py)."""
+    against f64, tools/precision_study.py).  ``params.poisson_kernel ==
+    "pallas"`` routes the sweep through the VMEM-resident Pallas kernel
+    (ops/pairwise_pallas.py); the driver test-compiles it at startup and
+    falls back to "jnp" if the TPU Mosaic compiler rejects it."""
+    if getattr(params, "poisson_kernel", "jnp") == "pallas":
+        from ..ops.compact import nonzero_fixed
+        from ..ops.pairwise_pallas import (
+            on_tpu_default_device, poisson_pairwise_pallas,
+        )
+
+        cap = -(-cap // 8) * 8          # kernel sublane-axis requirement
+        charged_idx, n_charged = nonzero_fixed(
+            state.charge != 0, cap, fill_value=0
+        )
+        slot_valid = jnp.arange(cap, dtype=jnp.int32) < n_charged
+        cq = jnp.where(slot_valid, state.charge[charged_idx], 0)
+        v = poisson_pairwise_pallas(
+            geom.coords, charged_idx, cq, params.sigma, params.k,
+            geom.lattice, geom.pbc,
+            interpret=not on_tpu_default_device(),
+        )
+        return state.replace(potential_charge=v.astype(params.dtype)), n_charged
     cdtype = jnp.float32 if params.mixed else params.dtype
     v, n_charged = _poisson_rows_compact(
         geom.coords.astype(cdtype), state.charge, geom.lattice.astype(cdtype),

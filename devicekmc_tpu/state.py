@@ -146,6 +146,7 @@ class PhysParams:
     event_mode: str = struct.field(pytree_node=False, default="incremental")
     max_events_per_superstep: int = struct.field(pytree_node=False, default=10000)
     poisson_compact_cap: int = struct.field(pytree_node=False, default=0)
+    poisson_kernel: str = struct.field(pytree_node=False, default="jnp")
     active_rows_cap: int = struct.field(pytree_node=False, default=0)
     tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
     transport: str = struct.field(pytree_node=False, default="dense")
@@ -437,6 +438,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         event_mode=cfg.event_mode,
         max_events_per_superstep=cfg.max_events_per_superstep,
         poisson_compact_cap=cfg.poisson_compact_cap,
+        poisson_kernel=getattr(cfg, "poisson_kernel", "jnp"),
         active_rows_cap=max(cfg.active_rows_cap, 0),
         tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
         transport=cfg.transport,

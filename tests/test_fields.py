@@ -435,3 +435,19 @@ def test_blocked_deflated_precond_matches_dense(small_sim):
     assert int(mc["cg_iters_power"]) < int(mj["cg_iters_power"])
     assert int(mc["cg_iters_power"]) < 2000
     assert int(mm["cg_iters_power"]) < 2000
+
+
+def test_poisson_compact_pallas_matches_jnp(small_sim):
+    """poisson_gridless_compact with the pallas kernel (interpret mode on
+    CPU) == the jnp blocked sweep."""
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    pj = params.replace(mixed=True)
+    st_jnp, n1 = potential_mod.poisson_gridless_compact(geom, pj, state, cap=64)
+    st_pal, n2 = potential_mod.poisson_gridless_compact(
+        geom, pj.replace(poisson_kernel="pallas"), state, cap=64
+    )
+    assert int(n1) == int(n2)
+    a = np.asarray(st_jnp.potential_charge)
+    b = np.asarray(st_pal.potential_charge)
+    np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6 * np.abs(a).max())
