@@ -270,6 +270,13 @@ def main():
                     choices=["replicate", "halo"],
                     help="mesh decomposition: replicated field vectors vs "
                          "x-slab halo exchange (forces site_order=x)")
+    ap.add_argument("--events-only", action="store_true",
+                    help="disable the potential solves (KMC events module "
+                         "alone; bounds dispatch length at 500k+ sites "
+                         "under the ~2 min axon relay watchdog)")
+    ap.add_argument("--boundary-precond", default="jacobi",
+                    choices=["jacobi", "deflated"],
+                    help="boundary/CB Laplace preconditioning")
     ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="compacted-Poisson pair sweep implementation "
                          "(pallas: VMEM-resident Mosaic kernel, TPU only)")
@@ -329,6 +336,10 @@ def main():
 
     if args.poisson_kernel != "jnp":
         params = params.replace(poisson_kernel=args.poisson_kernel)
+    if args.boundary_precond != "jacobi":
+        params = params.replace(boundary_precond=args.boundary_precond)
+    if args.events_only:
+        params = params.replace(solve_potential=False)
 
     print(f"# N={geom.N} sites, max_nn={geom.max_nn}, "
           f"backend={jax.default_backend()}, precision={args.precision}",

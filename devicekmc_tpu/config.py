@@ -177,6 +177,10 @@ class KMCConfig:
                                            # metric (x-slab Galerkin coarse space; cuts
                                            # hard re-solve iterations without hurting
                                            # warm-started steps)
+    boundary_precond: str = "jacobi"       # "jacobi" | "deflated": A-DEF2 x-slab deflation
+                                           # of the boundary/CB Laplace solves (cuts cold
+                                           # bias-change solves; also bounds dispatch length
+                                           # at 500k+ sites under the axon relay watchdog)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
@@ -253,8 +257,8 @@ _VEC_STR_KEYS = {"metals"}
 _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
-    "transport", "transport_precond", "bc_pinned_width", "site_order",
-    "poisson_kernel",
+    "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
+    "site_order", "poisson_kernel",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

@@ -209,3 +209,66 @@ def cg_solve_mixed(
         x=x, iters=inner_iters, residual=jnp.sqrt(jnp.dot(r, r)),
         rel0=jnp.sqrt(jnp.dot(r0, r0)) / jnp.where(bnorm > 0, bnorm, 1.0),
     )
+
+
+def _cholesky_small(A):
+    """In-place Cholesky of a small SPD matrix via a fori_loop over columns
+    — works in f64 on TPU, where jnp.linalg LU/Cholesky is f32-only.
+    Column j reads the finished columns < j (zero above their diagonal) and
+    the raw column j of A."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def col(j, M):
+        lrow_j = jnp.where(idx < j, M[j, :], 0.0)       # L[j, :j]
+        s = M[:, j] - M @ lrow_j                        # A[:,j] - sum L L^T
+        d = jnp.sqrt(jnp.maximum(s[j], 1e-300))
+        return M.at[:, j].set(jnp.where(idx >= j, s / d, 0.0))
+
+    return jax.lax.fori_loop(0, n, col, A)
+
+
+def _cholesky_solve_identity(L):
+    """A^-1 = L^-T L^-1 for a small lower-triangular L (multi-RHS forward +
+    backward substitution with fori_loops)."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+    eye = jnp.eye(n, dtype=L.dtype)
+
+    def fwd(j, Y):
+        y = (eye[j, :] - L[j, :] @ Y) / L[j, j]
+        return Y.at[j, :].set(y)
+
+    Y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(L))
+
+    def bwd(k, X):
+        j = n - 1 - k
+        x = (Y[j, :] - L[:, j] @ X) / L[j, j]
+        return X.at[j, :].set(x)
+
+    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(L))
+
+
+def invert_coarse(A_c, dtype):
+    """Invert the small SPD coarse matrix in full working precision.
+
+    An earlier version used the f32 LU (TPU has no f64 LU) plus one Newton
+    step — but kappa(A_c) ~ 1e10 (contact slabs' high_G couplings vs the
+    low_G oxide chain) makes ||I - A X0|| > 1, so Newton *diverges* and the
+    corrupted inverse injected large errors into warm starts (measured:
+    10 -> 259 CG iterations).  A hand-rolled f64 Cholesky costs O(K^3) on a
+    ~24^2 matrix — negligible — and is accurate to ~kappa*eps_f64 ~ 1e-6.
+
+    The stabilising ridge is applied AFTER the symmetric diagonal scaling
+    (i.e. relative to each row's own scale): a ridge relative to the
+    GLOBAL max entry would be ~1e12 times larger than the low-conductance
+    oxide rows — the smooth subspace deflation exists to resolve — and
+    corrupt them outright.  Rows with zero diagonal (empty aggregates) get
+    a unit diagonal; their correction is annihilated by Z^T anyway."""
+    dc = jnp.sqrt(jnp.abs(jnp.diagonal(A_c)))
+    dc = jnp.where(dc > 0, dc, 1.0)
+    A_cs = A_c / dc[:, None] / dc[None, :]
+    A_cs = A_cs + jnp.eye(A_c.shape[0], dtype=dtype) * 1e-12
+    L = _cholesky_small(A_cs)
+    X = _cholesky_solve_identity(L)
+    return X / dc[None, :] / dc[:, None]

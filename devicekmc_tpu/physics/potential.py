@@ -76,6 +76,7 @@ def _dirichlet_laplace_solve(
     maxiter: int,
     mixed: str = "",
     masks=None,         # (left, right, interior) override; default geom masks
+    deflate_slabs: int = 0,
 ):
     """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
     geom.right_mask, or the ``masks`` override).  Returns the full-length
@@ -130,6 +131,56 @@ def _dirichlet_laplace_solve(
             matvec, matvec32, b, x0=x0_int, diag=pre_diag,
             tol=tol, maxiter=maxiter,
         )
+    elif deflate_slabs > 0:
+        # A-DEF2 x-slab deflation in the Jacobi-scaled metric — the same
+        # construction that cut the blocked-transport re-solves (see
+        # current._deflation_ops): the Laplacian's smooth long-range error
+        # modes (kappa ~ high_G/low_G = 1e8) are exactly what the slab
+        # basis captures, and cold solves at bias changes are this
+        # solver's dominant cost (~471 f64 iterations at 110k sites).
+        # criterion="r" on the scaled system == the Jacobi-scaled rule —
+        # the reference's own criterion on its symmetric-scaled system
+        # (src/iterative_solvers_gpu.cu:309-480).
+        from ..ops.cg import invert_coarse
+
+        K = deflate_slabs
+        ax = geom.coords[:, 0].astype(edge_g.dtype)
+        big = jnp.asarray(jnp.finfo(edge_g.dtype).max, edge_g.dtype)
+        xmin = jnp.min(jnp.where(interior, ax, big))
+        xmax = jnp.max(jnp.where(interior, ax, -big))
+        slab = jnp.clip(
+            ((ax - xmin) / jnp.maximum(xmax - xmin, 1e-30) * K)
+            .astype(jnp.int32), 0, K - 1,
+        )
+        agg = jnp.where(interior, slab, K)      # contacts: no aggregate
+        Zm = jax.nn.one_hot(agg, K, dtype=edge_g.dtype)   # [N, K]
+
+        # LZ in one pass: diag term + max_nn column panels
+        LZ = pre_diag[:, None] * Zm
+        safe_nb = jnp.maximum(geom.neigh_idx, 0)
+        for s in range(neg_vals.shape[1]):
+            LZ = LZ + neg_vals[:, s:s + 1] * Zm[safe_nb[:, s]]
+        LZ = jnp.where(interior[:, None], LZ, 0.0)
+        E = Zm.T @ LZ
+        E_inv = invert_coarse(E, edge_g.dtype)
+        ds = jnp.sqrt(jnp.where(interior & (diag > 0), diag, 1.0))
+        dsi = 1.0 / ds
+        Zhat = ds[:, None] * Zm
+        W = dsi[:, None] * LZ
+
+        def esolve(a):
+            c = E_inv @ a
+            return c + E_inv @ (a - E @ c)
+
+        b_s = dsi * b
+        y0 = ds * x0_int
+        y0 = y0 - Zhat @ esolve(W.T @ y0) + Zhat @ esolve(Zhat.T @ b_s)
+        res = cg_solve(
+            lambda y: dsi * matvec(dsi * y), b_s, x0=y0,
+            precond=lambda r: r + Zhat @ esolve(Zhat.T @ r - W.T @ r),
+            tol=tol, maxiter=maxiter, criterion="r",
+        )
+        res = res._replace(x=res.x * dsi)
     else:
         res = cg_solve(
             matvec, b, x0=x0_int, diag=pre_diag, tol=tol, maxiter=maxiter
@@ -170,6 +221,11 @@ def solve_boundary_potential(
             tol=params.solver_tol, maxiter=params.solver_maxiter,
             masks=(geom.bp_left_mask, geom.bp_right_mask,
                    geom.bp_interior_mask),
+            deflate_slabs=(
+                params.coarse_slabs
+                if getattr(params, "boundary_precond", "jacobi") == "deflated"
+                else 0
+            ),
         )
         return phi, res.iters
 
@@ -193,6 +249,11 @@ def solve_cb_edge(
     phi, res = _dirichlet_laplace_solve(
         geom, edge_g, vl, vr,
         x0=x0, tol=params.solver_tol, maxiter=params.solver_maxiter,
+        deflate_slabs=(
+            params.coarse_slabs
+            if getattr(params, "boundary_precond", "jacobi") == "deflated"
+            else 0
+        ),
     )
     return (
         state.replace(CB_edge=phi * C.EV_TO_J),

@@ -151,6 +151,7 @@ class PhysParams:
     tunnel_vac_cap: int = struct.field(pytree_node=False, default=0)
     transport: str = struct.field(pytree_node=False, default="dense")
     transport_precond: str = struct.field(pytree_node=False, default="jacobi")
+    boundary_precond: str = struct.field(pytree_node=False, default="jacobi")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
@@ -396,7 +397,12 @@ def build_params(cfg: KMCConfig) -> PhysParams:
     if cfg.transport_precond not in ("jacobi", "deflated"):
         raise ValueError(
             f"unknown transport_precond={cfg.transport_precond!r}; "
-            "expected 'jacobi' or 'coarse'"
+            "expected 'jacobi' or 'deflated'"
+        )
+    if getattr(cfg, "boundary_precond", "jacobi") not in ("jacobi", "deflated"):
+        raise ValueError(
+            f"unknown boundary_precond={cfg.boundary_precond!r}; "
+            "expected 'jacobi' or 'deflated'"
         )
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     s = lambda x: jnp.asarray(x, dtype=dtype)
@@ -443,6 +449,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         tunnel_vac_cap=max(cfg.tunnel_vac_cap, 0),
         transport=cfg.transport,
         transport_precond=cfg.transport_precond,
+        boundary_precond=getattr(cfg, "boundary_precond", "jacobi"),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
         mixed=(cfg.precision == "mixed"),

@@ -451,3 +451,27 @@ def test_poisson_compact_pallas_matches_jnp(small_sim):
     a = np.asarray(st_jnp.potential_charge)
     b = np.asarray(st_pal.potential_charge)
     np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6 * np.abs(a).max())
+
+
+def test_boundary_deflated_matches_jacobi(small_sim):
+    """A-DEF2 deflated boundary/CB Laplace solves == plain Jacobi CG (both
+    converge to the same Dirichlet solution), cold-start iterations lower."""
+    s, cfg, geom, params, state, elems = small_sim
+    state, _ = charge_mod.update_charge(geom, state)
+    Vd = 2.0
+    pj = params
+    pd = params.replace(boundary_precond="deflated", coarse_slabs=8)
+    stj, mj = potential_mod.solve_boundary_potential(geom, pj, state, Vd)
+    std, md = potential_mod.solve_boundary_potential(geom, pd, state, Vd)
+    a = np.asarray(stj.potential_boundary)
+    b = np.asarray(std.potential_boundary)
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6 * np.abs(a).max())
+    assert int(md["cg_iters_boundary"]) < int(mj["cg_iters_boundary"])
+
+    cj, mj2 = potential_mod.solve_cb_edge(geom, pj, state, Vd)
+    cd, md2 = potential_mod.solve_cb_edge(geom, pd, state, Vd)
+    np.testing.assert_allclose(
+        np.asarray(cd.CB_edge), np.asarray(cj.CB_edge),
+        rtol=1e-4, atol=1e-6 * float(np.abs(np.asarray(cj.CB_edge)).max()),
+    )
+    assert int(md2["cg_iters_cb_edge"]) < int(mj2["cg_iters_cb_edge"])
