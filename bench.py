@@ -274,7 +274,7 @@ def main():
                     help="disable the potential solves (KMC events module "
                          "alone; bounds dispatch length at 500k+ sites "
                          "under the ~2 min axon relay watchdog)")
-    ap.add_argument("--boundary-precond", default="jacobi",
+    ap.add_argument("--boundary-precond", default="deflated",
                     choices=["jacobi", "deflated"],
                     help="boundary/CB Laplace preconditioning")
     ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
@@ -336,8 +336,7 @@ def main():
 
     if args.poisson_kernel != "jnp":
         params = params.replace(poisson_kernel=args.poisson_kernel)
-    if args.boundary_precond != "jacobi":
-        params = params.replace(boundary_precond=args.boundary_precond)
+    params = params.replace(boundary_precond=args.boundary_precond)
     if args.events_only:
         params = params.replace(solve_potential=False)
 
@@ -444,7 +443,7 @@ def main():
             if "n_vac_atoms" in metrics:
                 extra += f", vac={int(metrics['n_vac_atoms'])}"
             print(f"# step {i}: {dt:.4f}s, events={int(metrics['n_events'])}, "
-                  f"cg={int(metrics['cg_iters_boundary'])}, "
+                  f"cg={int(metrics.get('cg_iters_boundary', -1))}, "
                   f"charged={int(metrics.get('n_charged_sites', -1))}" + extra,
                   file=sys.stderr)
         nch = metrics.get("n_charged_sites")

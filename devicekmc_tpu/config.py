@@ -177,10 +177,11 @@ class KMCConfig:
                                            # metric (x-slab Galerkin coarse space; cuts
                                            # hard re-solve iterations without hurting
                                            # warm-started steps)
-    boundary_precond: str = "jacobi"       # "jacobi" | "deflated": A-DEF2 x-slab deflation
-                                           # of the boundary/CB Laplace solves (cuts cold
-                                           # bias-change solves; also bounds dispatch length
-                                           # at 500k+ sites under the axon relay watchdog)
+    boundary_precond: str = "deflated"     # "jacobi" | "deflated": A-DEF2 x-slab deflation
+                                           # of the boundary/CB Laplace solves (crossbar
+                                           # cold solves 186 -> 72 iters / 15.2 -> 6.5 s;
+                                           # also bounds dispatch length at 500k+ sites
+                                           # under the axon relay watchdog)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
