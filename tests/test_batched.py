@@ -16,6 +16,11 @@ from test_sharding import sim_pieces  # noqa: F401
 
 def test_batched_matches_per_device(sim_pieces):
     cfg, geom, params, state, heat = sim_pieces
+    # pin plain Jacobi: this test asserts BIT-equality of a vmapped batch
+    # member against a single run, and XLA reassociates the deflation's
+    # [N, K] matmuls differently under vmap (same solution, last-ulp dt
+    # difference -> different event selection downstream)
+    params = params.replace(boundary_precond="jacobi")
     Vd = 2.0
     state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
 

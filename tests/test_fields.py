@@ -459,7 +459,7 @@ def test_boundary_deflated_matches_jacobi(small_sim):
     s, cfg, geom, params, state, elems = small_sim
     state, _ = charge_mod.update_charge(geom, state)
     Vd = 2.0
-    pj = params
+    pj = params.replace(boundary_precond="jacobi")
     pd = params.replace(boundary_precond="deflated", coarse_slabs=8)
     stj, mj = potential_mod.solve_boundary_potential(geom, pj, state, Vd)
     std, md = potential_mod.solve_boundary_potential(geom, pd, state, Vd)

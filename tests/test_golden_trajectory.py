@@ -87,6 +87,17 @@ if __name__ == "__main__":
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # regen must run under the SAME backend as the tests (conftest pins
+    # CPU; the axon TPU differs in f64 round-off at the last few ulps,
+    # enough to flip downstream event picks)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except RuntimeError:
+        pass
     if "--regen" in sys.argv:
         records = _run_trajectory()
         json.dump(records, open(GOLDEN_PATH, "w"), indent=1)

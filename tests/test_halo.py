@@ -33,7 +33,11 @@ def test_halo_laplace_matches_replicated(cpu_devices):
         layers=s.layers, solve_potential=True,
     )
     geom = build_geometry(elems, s.coords, cfg, pad_to=n_dev)
-    params = build_params(cfg)
+    # pin plain Jacobi CG: this test validates the halo exchange against
+    # the replicated solver running the SAME algorithm (the deflated
+    # default converges to the same solution but under a different
+    # stopping criterion, ~5e-8 apart — outside this test's tolerance)
+    params = build_params(cfg).replace(boundary_precond="jacobi")
     state = init_state(geom, cfg, elems)
     state, _ = charge_mod.update_charge(geom, state)
     Vd = 2.0
