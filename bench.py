@@ -270,6 +270,11 @@ def main():
                     choices=["replicate", "halo"],
                     help="mesh decomposition: replicated field vectors vs "
                          "x-slab halo exchange (forces site_order=x)")
+    ap.add_argument("--chunk-cold", type=int, default=0,
+                    help=">0: pre-solve the cold boundary network as a "
+                         "host loop of bounded-maxiter CG dispatches "
+                         "(keeps dispatches under the ~2 min relay "
+                         "watchdog; enables full modules at 500k+ sites)")
     ap.add_argument("--events-only", action="store_true",
                     help="disable the potential solves (KMC events module "
                          "alone; bounds dispatch length at 500k+ sites "
@@ -384,6 +389,27 @@ def main():
     else:
         step = jax.jit(superstep_impl)
     Vd = args.vd if args.vd is not None else (5.0 if args.full else 1.0)
+    if args.chunk_cold > 0 and params.solve_potential:
+        from devicekmc_tpu.physics.charge import update_charge
+        from devicekmc_tpu.physics.potential import solve_boundary_potential
+
+        pchunk = params.replace(solver_maxiter=args.chunk_cold)
+        state, _ = jax.jit(update_charge)(geom, state)
+        fsolve = jax.jit(solve_boundary_potential)
+        t0 = time.time()
+        total = 0
+        while True:
+            state, m = fsolve(geom, pchunk, state, Vd)
+            it = int(m["cg_iters_boundary"])
+            total += it
+            if it < args.chunk_cold:
+                break
+            state = state.replace(
+                Vd_prev=jnp.full_like(state.Vd_prev, jnp.nan)
+            )
+        print(f"# chunked cold boundary solve: {total} iterations in "
+              f"{time.time()-t0:.0f}s ({args.chunk_cold}/dispatch)",
+              file=sys.stderr)
     cc = None
     if args.full or args.full_crossbar:
         from devicekmc_tpu.physics.potential import solve_cb_edge

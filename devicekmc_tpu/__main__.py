@@ -31,6 +31,9 @@ def main(argv=None):
     import jax
 
     if args.cpu:
+        # the axon register forces jax_platforms="axon,cpu"; force it back
+        # so --cpu never touches (or blocks on) the remote TPU backend
+        jax.config.update("jax_platforms", "cpu")
         try:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
         except RuntimeError:

@@ -177,12 +177,20 @@ class KMCConfig:
                                            # metric (x-slab Galerkin coarse space; cuts
                                            # hard re-solve iterations without hurting
                                            # warm-started steps)
-    boundary_precond: str = "deflated"     # "jacobi" | "deflated": A-DEF2 x-slab deflation
-                                           # of the boundary/CB Laplace solves (crossbar
-                                           # cold solves 186 -> 72 iters / 15.2 -> 6.5 s;
-                                           # also bounds dispatch length at 500k+ sites
-                                           # under the axon relay watchdog)
+    boundary_precond: str = "jacobi"       # IN-SUPERSTEP boundary/CB solves: "jacobi" |
+                                           # "deflated".  Warm re-solves are SETUP-dominated
+                                           # (the deflation's [N x K] basis build costs
+                                           # ~0.34 s/step at 110k sites vs ~0 CG iterations),
+                                           # so jacobi is the right default here; the engine
+                                           # always pre-solves the COLD bias-start systems
+                                           # with deflation (186 -> 72 iters / 15.2 -> 6.5 s
+                                           # on the crossbar), where the setup amortises.
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
+    solver_chunk_iters: int = 0            # >0: pre-solve cold bias-start Laplace systems
+                                           # as a host loop of bounded-maxiter CG dispatches
+                                           # (keeps every dispatch under the axon relay's
+                                           # ~2-minute kill; needed for full physics at
+                                           # 500k+ sites).  0 = single-dispatch solves.
     transport: str = "dense"               # "dense" (materialised X, MXU matvec) | "blocked"
                                            # (matrix-free: ELL neighbour part + dense tunnel
                                            # blocks over {vacancy, interior-metal} only —
@@ -243,7 +251,7 @@ _INT_KEYS = {
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
-    "tunnel_int_steps", "coarse_slabs",
+    "tunnel_int_steps", "coarse_slabs", "solver_chunk_iters",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",

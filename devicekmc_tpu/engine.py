@@ -471,6 +471,38 @@ class Simulation:
         redo = self._maybe_grow_tunnel_int_steps(metrics) or redo
         return redo
 
+    # -- watchdog-bounded cold solves -------------------------------------
+    # The axon relay kills single device dispatches over ~2 minutes; at
+    # 500k+ sites a cold bias-change Laplace solve exceeds that in one
+    # dispatch.  cfg.solver_chunk_iters > 0 pre-solves the CB-edge and
+    # boundary networks at bias start as a host loop of bounded-maxiter CG
+    # dispatches (each warm-starting from the last partial solution —
+    # restarted CG, more total iterations but every dispatch is short).
+    # The first superstep then finds the boundary network converged and
+    # takes its exact-skip path.
+    def _chunked_cb_edge(self, Vd: float, chunk: int, base_params=None):
+        pchunk = (base_params or self.params).replace(solver_maxiter=chunk)
+        for _ in range(1000):
+            self.state, m = _phase_cb_edge(self.geom, pchunk, self.state, Vd)
+            if int(m["cg_iters_cb_edge"]) < chunk:
+                return
+        raise RuntimeError("chunked CB-edge solve failed to converge")
+
+    def _chunked_boundary(self, Vd: float, chunk: int, base_params=None):
+        pchunk = (base_params or self.params).replace(solver_maxiter=chunk)
+        # the conductance network needs the current charge state
+        self.state, _ = _phase_charge(self.geom, self.state)
+        for _ in range(1000):
+            self.state, m = _phase_boundary(self.geom, pchunk, self.state, Vd)
+            if int(m["cg_iters_boundary"]) < chunk:
+                return
+            # defeat the exact-skip path for the next chunk (it would see
+            # an unchanged network and return the unconverged potential)
+            self.state = self.state.replace(
+                Vd_prev=jnp.full_like(self.state.Vd_prev, jnp.nan)
+            )
+        raise RuntimeError("chunked boundary solve failed to converge")
+
     # -- logging ---------------------------------------------------------
     def _log(self, text: str):
         self._buffer.append(text)
@@ -630,10 +662,21 @@ class Simulation:
         self._log(f"Applied Voltage = {Vd:g} V\n")
         self._log("--------------------------------\n")
 
+        chunk = getattr(cfg, "solver_chunk_iters", 0)
+        # cold bias-start solves run DEFLATED here (the basis-build setup
+        # amortises over the many cold iterations: crossbar 186 -> 72 its /
+        # 15.2 -> 6.5 s), while the in-superstep re-solves keep
+        # cfg.boundary_precond (jacobi default: they are setup-dominated)
+        cold_params = self.params.replace(boundary_precond="deflated")
         if params.solve_current:
             if resume_step == 0:
                 t0 = time.perf_counter()
-                self.state, _ = _phase_cb_edge(self.geom, params, self.state, Vd)
+                if chunk > 0:
+                    self._chunked_cb_edge(Vd, chunk, cold_params)
+                else:
+                    self.state, _ = _phase_cb_edge(
+                        self.geom, cold_params, self.state, Vd
+                    )
                 jax.block_until_ready(self.state.CB_edge)
                 self._log(
                     f"Z - calculation time - CB edge [s]: "
@@ -646,6 +689,13 @@ class Simulation:
                 if self._band is not None:
                     cache["band"] = self._band
                 self._cc = cache
+        if params.solve_potential and resume_step == 0:
+            # pre-solve the boundary network so the first superstep takes
+            # its exact-skip path instead of paying the cold solve in-jit
+            self._chunked_boundary(
+                Vd, chunk if chunk > 0 else self.params.solver_maxiter,
+                cold_params,
+            )
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)

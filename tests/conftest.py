@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# the axon register (sitecustomize) FORCES jax_platforms="axon,cpu",
+# overriding the env var — force it back so tests never initialize the
+# remote TPU backend (whose PJRT client blocks indefinitely when the
+# relay session is wedged)
+jax.config.update("jax_platforms", "cpu")
 try:
     _cpu = jax.devices("cpu")[0]
     jax.config.update("jax_default_device", _cpu)

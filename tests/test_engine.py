@@ -262,3 +262,29 @@ def test_simulation_blocked_transport_matches_dense(tmp_path):
     np.testing.assert_allclose(
         float(sim_b.state.I_macro), float(sim_d.state.I_macro), rtol=1e-6
     )
+
+
+def test_chunked_cold_solves_converge(tmp_path):
+    """solver_chunk_iters > 0: the bias-start CB-edge and boundary solves
+    run as a host loop of bounded-maxiter dispatches and converge to the
+    same fields as single-dispatch solves."""
+    cfg_a, s = _make_cfg(tmp_path / "a", perturb_structure=False)
+    (tmp_path / "a").mkdir()
+    sim_a = Simulation(cfg_a, elements=s.elements, coords=s.coords)
+    sim_a.run_bias_point(2.0, 1.0, max_steps=1)
+
+    cfg_b, _ = _make_cfg(tmp_path / "b", perturb_structure=False,
+                         solver_chunk_iters=5)
+    (tmp_path / "b").mkdir()
+    sim_b = Simulation(cfg_b, elements=s.elements, coords=s.coords)
+    sim_b.run_bias_point(2.0, 1.0, max_steps=1)
+
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.CB_edge), np.asarray(sim_a.state.CB_edge),
+        rtol=1e-6, atol=1e-25,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim_b.state.potential_boundary),
+        np.asarray(sim_a.state.potential_boundary),
+        rtol=1e-5, atol=1e-8,
+    )

@@ -94,6 +94,7 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")   # axon register overrides env
     try:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except RuntimeError:
