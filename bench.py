@@ -299,10 +299,28 @@ def main():
     import jax
 
     if args.cpu:
+        # the axon register forces jax_platforms="axon,cpu"; force it back
+        # so --cpu never touches (or blocks on) the remote TPU backend
+        jax.config.update("jax_platforms", "cpu")
         try:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
         except RuntimeError:
             pass
+    else:
+        # backend-init watchdog: a wedged axon relay session makes the
+        # PJRT client block forever in make_c_api_client — fail loudly
+        # instead of hanging the caller
+        import threading
+
+        _ok = threading.Event()
+        threading.Thread(
+            target=lambda: (jax.devices(), _ok.set()), daemon=True
+        ).start()
+        if not _ok.wait(600):
+            print("# FATAL: accelerator backend init did not complete in "
+                  "600 s (axon relay session wedged?) — rerun later or "
+                  "use --cpu", file=sys.stderr)
+            sys.exit(1)
 
     from devicekmc_tpu.superstep import superstep_impl
 
