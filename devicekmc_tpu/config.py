@@ -201,6 +201,12 @@ class KMCConfig:
                                            # ops/pairwise_pallas.py; the driver test-compiles
                                            # it and falls back to jnp if the TPU Mosaic
                                            # compiler rejects it)
+    transport_bf16_inner: bool = False     # blocked transport: bf16 twins of the tunnel
+                                           # blocks for the f32 inner iterations (halves
+                                           # their HBM stream; +50% block memory; the f64
+                                           # refinement keeps the f32 operator so accuracy
+                                           # is unchanged, at the cost of extra refinement
+                                           # rounds) — opt-in pending a TPU win
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -245,6 +251,7 @@ _BOOL_KEYS = {
     "restart", "pristine", "shift", "pbc", "log_to_file", "verbose",
     "solve_potential", "solve_current", "solve_heating_global",
     "solve_heating_local", "perturb_structure", "transport_banded",
+    "transport_bf16_inner",
 }
 _INT_KEYS = {
     "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",

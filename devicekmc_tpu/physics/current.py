@@ -503,6 +503,16 @@ def assemble_X_blocks(
             hi_dyn, -(high_G - low_G), 0.0
         ).astype(jnp.float32)
         out["band_vnb_safe"] = vsafe
+    if getattr(params, "transport_bf16_inner", False):
+        # bf16 twins of the tunnel blocks for the f32 INNER iterations
+        # only: halves the dominant per-iteration HBM stream (the 2.45 GB
+        # metal block) on the MXU's native bf16 path.  The f64 refinement
+        # keeps the f32-entried operator, so the converged answer is
+        # unchanged — a bf16-perturbed inner operator only caps the
+        # per-round contraction (~4e-3) and costs extra outer rounds.
+        out["T_cc16"] = T_cc.astype(jnp.bfloat16)
+        out["T_vv16"] = T_vv.astype(jnp.bfloat16)
+        out["T_vm16"] = T_vm.astype(jnp.bfloat16)
     return out
 
 
@@ -530,14 +540,22 @@ def _apply_X_blocks(blk, x, wd):
     # promoting to f64 would materialise multi-GB converted copies).  The
     # f32-accumulation error (~1e-5 relative of the TUNNEL term only) is
     # negligible against the entries' own f32 assembly error and the
-    # high_G-dominated row magnitudes.
-    cd = blk["T_cc"].dtype
+    # high_G-dominated row magnitudes.  The f32 inner iterations read the
+    # bf16 twins when present (transport_bf16_inner) with f32 MXU
+    # accumulation; the f64 refinement always reads the f32 originals.
+    if wd == jnp.float32 and blk.get("T_cc16") is not None:
+        T_cc, T_vv, T_vm = blk["T_cc16"], blk["T_vv16"], blk["T_vm16"]
+        cd = jnp.bfloat16
+    else:
+        T_cc, T_vv, T_vm = blk["T_cc"], blk["T_vv"], blk["T_vm"]
+        cd = T_cc.dtype
+    pt = jnp.float32 if cd == jnp.bfloat16 else None
     xm = xa[blk["mp"]].astype(cd)
     xv = jnp.where(blk["v_ok"], xa[blk["vidx"]], 0.0).astype(cd)
-    y_cc = jnp.matmul(blk["T_cc"], xm).astype(wd)
-    y_mv = jnp.matmul(xv, blk["T_vm"]).astype(wd)
-    y_vv = jnp.matmul(blk["T_vv"], xv).astype(wd)
-    y_vm = jnp.matmul(blk["T_vm"], xm).astype(wd)
+    y_cc = jnp.matmul(T_cc, xm, preferred_element_type=pt).astype(wd)
+    y_mv = jnp.matmul(xv, T_vm, preferred_element_type=pt).astype(wd)
+    y_vv = jnp.matmul(T_vv, xv, preferred_element_type=pt).astype(wd)
+    y_vm = jnp.matmul(T_vm, xm, preferred_element_type=pt).astype(wd)
     # metal_p placement via a static gather (TPU scatters are ~10x slower
     # than gathers and this runs once per CG iteration); vacancy placement
     # keeps the (small, dynamic) scatter

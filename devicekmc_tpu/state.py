@@ -152,6 +152,7 @@ class PhysParams:
     transport: str = struct.field(pytree_node=False, default="dense")
     transport_precond: str = struct.field(pytree_node=False, default="jacobi")
     boundary_precond: str = struct.field(pytree_node=False, default="jacobi")
+    transport_bf16_inner: bool = struct.field(pytree_node=False, default=False)
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
@@ -450,6 +451,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         transport=cfg.transport,
         transport_precond=cfg.transport_precond,
         boundary_precond=getattr(cfg, "boundary_precond", "jacobi"),
+        transport_bf16_inner=getattr(cfg, "transport_bf16_inner", False),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
         mixed=(cfg.precision == "mixed"),

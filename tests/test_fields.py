@@ -475,3 +475,22 @@ def test_boundary_deflated_matches_jacobi(small_sim):
         rtol=1e-4, atol=1e-6 * float(np.abs(np.asarray(cj.CB_edge)).max()),
     )
     assert int(md2["cg_iters_cb_edge"]) < int(mj2["cg_iters_cb_edge"])
+
+
+def test_blocked_bf16_inner_matches_dense(small_sim):
+    """transport_bf16_inner: bf16 tunnel twins for the f32 inner
+    iterations; the f64 refinement keeps the f32 operator so the result
+    stays within the mixed-mode accuracy envelope."""
+    Vd = 2.0
+    s, cfg, geom, params, state, elems = _current_ready_state(small_sim, Vd)
+    st_d, _ = current_mod.update_power(geom, params, state, Vd, method="direct")
+    n_vac = int((elems[np.asarray(geom.atom_ind)] == int(Element.VACANCY)).sum())
+    pb = params.replace(
+        transport="blocked", tunnel_vac_cap=max(16, n_vac + 4), mixed=True,
+        transport_bf16_inner=True,
+    )
+    st_b, mb = current_mod.update_power(geom, pb, state, Vd)
+    np.testing.assert_allclose(
+        float(st_b.I_macro), float(st_d.I_macro), rtol=2e-4
+    )
+    assert int(mb["cg_iters_power"]) < 4000
