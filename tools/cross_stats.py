@@ -50,6 +50,9 @@ def _write_params(outdir: str, seed: int):
     src = src.replace("rnd_seed = 1", f"rnd_seed = {seed}")
     src = src.replace("t_switch = 1.5e-13", f"t_switch = {T_SWITCH}")
     src += "\nperturb_structure = 1\n"
+    # devicekmc_tpu threads the KMC event stream from rnd_seed_kmc; the
+    # reference parser ignores the unknown key
+    src += f"rnd_seed_kmc = {seed}\n"
     with open(os.path.join(outdir, "parameters.txt"), "w") as f:
         f.write(src)
     shutil.copy(
