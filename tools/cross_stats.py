@@ -114,37 +114,106 @@ def _collect(dirs):
     return runs
 
 
+def _zcmp(a, b):
+    """(z, divergent?) for two 1-D samples; integer counts tolerate |Δmean|<=2."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    z = abs(a.mean() - b.mean()) / max(se, 1e-12)
+    return a, b, z
+
+
 def report(dirs):
     ref_runs = _collect([d for d in dirs if "ref" in os.path.basename(d)])
     my_runs = _collect([d for d in dirs if "mine" in os.path.basename(d)])
     if not ref_runs or not my_runs:
         print("need both ref* and mine* run dirs")
         return 1
-    n_steps = min(
-        min(len(r["kmc_time"]) for r in ref_runs),
-        min(len(r["kmc_time"]) for r in my_runs),
-    )
+    # Supersteps are stochastic in count (every run integrates the same
+    # KMC-time window t_switch, crossing it in a seed-dependent number of
+    # steps).  Per-step stats use every run that reached that step, down to a
+    # floor of 3 samples per side; end-of-window stats use all runs.
+    MIN_SAMPLES = 3
+
+    def _have(runs, s):
+        return [r for r in runs if len(r["kmc_time"]) > s]
+
+    n_steps = 0
+    while (len(_have(ref_runs, n_steps)) >= MIN_SAMPLES
+           and len(_have(my_runs, n_steps)) >= MIN_SAMPLES):
+        n_steps += 1
     print(f"# {len(ref_runs)} reference runs x {len(my_runs)} devicekmc_tpu "
-          f"runs, first {n_steps} supersteps\n")
+          f"runs; per-step stats over runs reaching each step "
+          f"(>= {MIN_SAMPLES}/side, {n_steps} steps)\n")
     ok = True
+    # Informational per-step-index table.  Step index is NOT equal physical
+    # time (each code advances the KMC clock by a seed- and stream-dependent
+    # amount per superstep), so no divergence verdict is drawn here — the
+    # time-aligned table below is the apples-to-apples one.
     for key in SPECIES_KEYS:
-        print(f"## {key}")
-        print("step |   ref mean+-sd    |  mine mean+-sd    | z")
+        print(f"## {key} (by step index, informational)")
+        print("step |  n_r |  n_m |   ref mean+-sd    |  mine mean+-sd    | z")
         for s in range(n_steps):
-            a = np.array([r[key][s] for r in ref_runs], dtype=float)
-            b = np.array([r[key][s] for r in my_runs], dtype=float)
-            se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
-            z = abs(a.mean() - b.mean()) / max(se, 1e-12)
+            ra = _have(ref_runs, s)
+            rb = _have(my_runs, s)
+            a, b, z = _zcmp([r[key][s] for r in ra], [r[key][s] for r in rb])
+            print(f"{s:4d} | {len(ra):4d} | {len(rb):4d} | "
+                  f"{a.mean():8.2f} +- {a.std(ddof=1):5.2f} | "
+                  f"{b.mean():8.2f} +- {b.std(ddof=1):5.2f} | {z:5.2f}")
+        print()
+
+    # Time-aligned comparison: sample each trajectory (a step function of
+    # kmc_time) at fixed fractions of the integration window.  This is the
+    # statistically meaningful comparison — same elapsed physical time on
+    # both sides, every run contributes at every checkpoint.
+    t_switch = float(T_SWITCH)
+
+    def _at_time(run, key, t):
+        kt = np.asarray(run["kmc_time"], dtype=float)
+        idx = np.searchsorted(kt, t, side="left")
+        vals = np.asarray(run[key], dtype=float)
+        if idx >= len(vals):
+            idx = len(vals) - 1
+        return vals[idx]
+
+    fracs = [0.25, 0.5, 0.75, 1.0]
+    for key in SPECIES_KEYS:
+        print(f"## {key} (at fixed kmc_time)")
+        print("t/t_sw |   ref mean+-sd    |  mine mean+-sd    | z")
+        for fr in fracs:
+            t = fr * t_switch
+            a, b, z = _zcmp([_at_time(r, key, t) for r in ref_runs],
+                            [_at_time(r, key, t) for r in my_runs])
             flag = "" if (z < 4 or abs(a.mean() - b.mean()) <= 2) else "  <-- DIVERGENT"
             if flag:
                 ok = False
-            print(f"{s:4d} | {a.mean():8.2f} +- {a.std(ddof=1):5.2f} | "
+            print(f"{fr:6.2f} | {a.mean():8.2f} +- {a.std(ddof=1):5.2f} | "
                   f"{b.mean():8.2f} +- {b.std(ddof=1):5.2f} | {z:5.2f}{flag}")
         print()
+    # End-of-window ensemble statistics: every run stops at kmc_time >=
+    # t_switch, so the final state and the number of supersteps needed to get
+    # there are directly comparable across all runs of both codes.
+    print("## end of window (kmc_time >= t_switch), all runs")
+    print("quantity              |   ref mean+-sd    |  mine mean+-sd    | z")
+    for key in SPECIES_KEYS:
+        a, b, z = _zcmp([r[key][-1] for r in ref_runs],
+                        [r[key][-1] for r in my_runs])
+        flag = "" if (z < 4 or abs(a.mean() - b.mean()) <= 2) else "  <-- DIVERGENT"
+        if flag:
+            ok = False
+        print(f"{key:21s} | {a.mean():8.2f} +- {a.std(ddof=1):5.2f} | "
+              f"{b.mean():8.2f} +- {b.std(ddof=1):5.2f} | {z:5.2f}{flag}")
+    a, b, z = _zcmp([len(r["kmc_time"]) for r in ref_runs],
+                    [len(r["kmc_time"]) for r in my_runs])
+    flag = "" if (z < 4 or abs(a.mean() - b.mean()) <= 2) else "  <-- DIVERGENT"
+    if flag:
+        ok = False
+    print(f"{'supersteps to cross':21s} | {a.mean():8.2f} +- {a.std(ddof=1):5.2f} | "
+          f"{b.mean():8.2f} +- {b.std(ddof=1):5.2f} | {z:5.2f}{flag}")
     # KMC clock advance per superstep (log-scale: spans decades)
-    print("## log10(kmc_time) at last common step")
-    a = np.log10([max(r["kmc_time"][n_steps - 1], 1e-300) for r in ref_runs])
-    b = np.log10([max(r["kmc_time"][n_steps - 1], 1e-300) for r in my_runs])
+    print("\n## log10(kmc_time) at first superstep")
+    a = np.log10([max(r["kmc_time"][0], 1e-300) for r in ref_runs])
+    b = np.log10([max(r["kmc_time"][0], 1e-300) for r in my_runs])
     print(f"ref  {a.mean():7.3f} +- {a.std(ddof=1):5.3f}   "
           f"mine {b.mean():7.3f} +- {b.std(ddof=1):5.3f}")
     if abs(a.mean() - b.mean()) > 3 * max(a.std(ddof=1), b.std(ddof=1), 0.3):
