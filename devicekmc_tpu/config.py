@@ -203,10 +203,13 @@ class KMCConfig:
                                            # compiler rejects it)
     transport_bf16_inner: bool = False     # blocked transport: bf16 twins of the tunnel
                                            # blocks for the f32 inner iterations (halves
-                                           # their HBM stream; +50% block memory; the f64
-                                           # refinement keeps the f32 operator so accuracy
-                                           # is unchanged, at the cost of extra refinement
-                                           # rounds) — opt-in pending a TPU win
+                                           # their HBM stream; +50% block memory) and the
+                                           # static band STORED bf16 outright (only the f32
+                                           # inner reads it; halves its stream AND memory).
+                                           # The f64 refinement keeps the f32/ELL operator,
+                                           # and the outer tolerance auto-tightens 1e-2 to
+                                           # keep the mixed-mode accuracy envelope (see
+                                           # update_power_blocked) — opt-in pending a TPU win
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a

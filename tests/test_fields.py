@@ -494,3 +494,14 @@ def test_blocked_bf16_inner_matches_dense(small_sim):
         float(st_b.I_macro), float(st_d.I_macro), rtol=2e-4
     )
     assert int(mb["cg_iters_power"]) < 4000
+    # bf16-inner also stores the static band bf16 (the f64 refinement keeps
+    # the exact ELL path, so the converged result is unchanged)
+    band = current_mod.build_banded_nb(geom, pb, state, block=32)
+    assert band["C"].dtype == jnp.bfloat16
+    st_bb, mbb = current_mod.update_power(
+        geom, pb, state, Vd, cc={"band": band}
+    )
+    np.testing.assert_allclose(
+        float(st_bb.I_macro), float(st_d.I_macro), rtol=2e-4
+    )
+    assert int(mbb["cg_iters_power"]) < 4000
