@@ -22,6 +22,10 @@ def main(argv=None):
                     help="per-phase timing (reference-style module timers)")
     ap.add_argument("--checkpoint", default="",
                     help="write a full-state checkpoint here at the end")
+    ap.add_argument("--checkpoint-backend", default=None,
+                    choices=["npz", "orbax", "orbax_async"],
+                    help="checkpoint format (default: npz for *.npz paths,"
+                         " else orbax)")
     ap.add_argument("--resume", default="",
                     help="load a full-state checkpoint before running")
     args = ap.parse_args(argv)
@@ -59,7 +63,8 @@ def main(argv=None):
         sim.load_checkpoint(args.resume)
     sim.run(max_steps_per_bias=args.max_steps)
     if args.checkpoint:
-        sim.save_checkpoint(args.checkpoint)
+        sim.save_checkpoint(args.checkpoint, backend=args.checkpoint_backend)
+        sim.wait_for_checkpoint()
     print(f"Done. Output in {sim.output_path}")
     return 0
 

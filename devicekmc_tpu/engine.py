@@ -294,6 +294,7 @@ class Simulation:
         # driver position for checkpoint/resume: (bias index, step within
         # that bias point)
         self._pos = (0, 0)
+        self._async_ckptr = None        # lazy orbax AsyncCheckpointer
         self.output_path = os.path.join(cfg.output_dir, "output.txt")
 
     def _rebuild_supersteps(self):
@@ -595,8 +596,12 @@ class Simulation:
         """Full-state checkpoint: state arrays + grown compaction caps +
         driver position (bias index / step), enough for a bit-exact resume
         through a bias-point boundary.  ``backend``: "npz" (single file,
-        default for *.npz paths) or "orbax" (directory; async-capable,
-        multi-host-aware — the production choice at crossbar scale)."""
+        default for *.npz paths), "orbax" (directory; multi-host-aware —
+        the production choice at crossbar scale) or "orbax_async"
+        (background write: the host snapshot is taken synchronously, the
+        disk write overlaps the next supersteps; ``wait_for_checkpoint``
+        blocks on the in-flight write — called automatically before the
+        next async save and at driver exit)."""
         if backend is None:
             backend = "npz" if path.endswith(".npz") else "orbax"
         payload = self._checkpoint_payload()
@@ -607,12 +612,34 @@ class Simulation:
 
             ckptr = ocp.PyTreeCheckpointer()
             ckptr.save(os.path.abspath(path), payload, force=True)
+        elif backend == "orbax_async":
+            import orbax.checkpoint as ocp
+
+            # one async checkpointer per engine: serialise in-flight writes
+            # (orbax requires wait_until_finished before the next save)
+            self.wait_for_checkpoint()
+            if self._async_ckptr is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler()
+                )
+            self._async_ckptr.save(
+                os.path.abspath(path), payload, force=True
+            )
         else:
             raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+    def wait_for_checkpoint(self):
+        """Block until an in-flight ``orbax_async`` save has committed to
+        disk.  No-op when none is pending."""
+        if getattr(self, "_async_ckptr", None) is not None:
+            self._async_ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str, backend: Optional[str] = None):
         if backend is None:
             backend = "npz" if path.endswith(".npz") else "orbax"
+        self.wait_for_checkpoint()      # an in-flight async save may be
+        if backend == "orbax_async":    # the very checkpoint being loaded
+            backend = "orbax"
         if backend == "npz":
             data = np.load(path)
             self._restore_payload({f: data[f] for f in data.files})
@@ -646,6 +673,7 @@ class Simulation:
                 break
             self._pos = (vt + 1, 0)
         self._flush()
+        self.wait_for_checkpoint()
 
     def run_bias_point(
         self, Vd: float, t_end: float, max_steps: Optional[int] = None,

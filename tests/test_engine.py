@@ -212,6 +212,35 @@ def test_checkpoint_orbax_backend(tmp_path):
         )
 
 
+def test_checkpoint_orbax_async_backend(tmp_path):
+    """``orbax_async`` overlaps the disk write with subsequent compute;
+    a second save (and load) must serialise against the in-flight write
+    and the restored payload must match the synchronous backends."""
+    pytest.importorskip("orbax.checkpoint")
+    cfg, s = _make_cfg(tmp_path)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim.run_bias_point(2.0, 1e-12, max_steps=2)
+    sim._pos = (0, 2)
+    sim.save_checkpoint(str(tmp_path / "ck_a1"), backend="orbax_async")
+    # immediate second async save: must wait for the first, not crash
+    sim.run_bias_point(2.0, 1e-12, max_steps=1)
+    sim._pos = (0, 3)
+    sim.save_checkpoint(str(tmp_path / "ck_a2"), backend="orbax_async")
+    sim.save_checkpoint(str(tmp_path / "ck.npz"))
+    sim.wait_for_checkpoint()
+
+    sim2 = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim2.load_checkpoint(str(tmp_path / "ck_a2"), backend="orbax_async")
+    sim3 = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim3.load_checkpoint(str(tmp_path / "ck.npz"))
+    assert sim2._pos == sim3._pos == (0, 3)
+    for f in ("element", "charge", "key", "kmc_time", "virtual_potentials"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim2.state, f)),
+            np.asarray(getattr(sim3.state, f)), err_msg=f,
+        )
+
+
 def test_modular_driver_emits_timing_keys(tmp_path):
     cfg, s = _make_cfg(tmp_path)
     sim = Simulation(cfg, elements=s.elements, coords=s.coords, fused=False)
