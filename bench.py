@@ -91,7 +91,8 @@ def build_crossbar_sim(precision: str, pad_to: int = 1, site_order: str = "file"
     return geom, params, heat, state
 
 
-def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"):
+def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated",
+                            bf16_inner: bool = False):
     """FULL physics (charge + potentials + KMC + transport + heat) on the
     75,360-atom reference crossbar — beyond the reference's demonstrated
     envelope (its committed crossbar timing runs exclude the current solve;
@@ -122,6 +123,7 @@ def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"
         # window count must cover the CB-edge spread (~Vd + band offsets);
         # checked every step via the tunnel_int_steps_needed metric
         tunnel_int_steps=max(256, int(100 * (abs(vd) + 1.5))),
+        transport_bf16_inner=bf16_inner,
         A=102.3e-10 * 102.3e-10,
     )
     params = build_params(cfg)
@@ -259,6 +261,11 @@ def main():
     ap.add_argument("--vd", type=float, default=None)
     ap.add_argument("--precond", default="deflated", choices=["jacobi", "deflated"],
                     help="blocked-transport CG preconditioning (full-crossbar)")
+    ap.add_argument("--bf16-inner", action="store_true",
+                    help="store the static band + tunnel-block twins bf16 "
+                         "for the f32 inner transport iterations "
+                         "(full-crossbar; halves the per-iteration HBM "
+                         "stream, auto-tightens the outer tolerance)")
     ap.add_argument("--no-banded", action="store_true",
                     help="disable the static banded neighbour matvec "
                          "(full-crossbar; falls back to the ELL gather)")
@@ -275,6 +282,11 @@ def main():
                          "host loop of bounded-maxiter CG dispatches "
                          "(keeps dispatches under the ~2 min relay "
                          "watchdog; enables full modules at 500k+ sites)")
+    ap.add_argument("--chunk-transport", type=int, default=0,
+                    help=">0: pre-solve the cold transport network as a "
+                         "host loop of bounded-maxiter CG dispatches "
+                         "(watchdog-proofs the first full-crossbar "
+                         "superstep, e.g. under --bf16-inner)")
     ap.add_argument("--events-only", action="store_true",
                     help="disable the potential solves (KMC events module "
                          "alone; bounds dispatch length at 500k+ sites "
@@ -339,7 +351,8 @@ def main():
     if args.full_crossbar:
         vd0 = args.vd if args.vd is not None else 1.0
         geom, params, heat, state, _ = build_full_crossbar_sim(
-            args.precision, vd0, precond=args.precond
+            args.precision, vd0, precond=args.precond,
+            bf16_inner=args.bf16_inner,
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)
@@ -445,6 +458,34 @@ def main():
                 print(f"# banded nb operator: "
                       f"{'on, C=' + str(tuple(band['C'].shape)) if band else 'off (too large)'}",
                       file=sys.stderr)
+        if args.chunk_transport > 0:
+            # pre-solve the transport network in bounded-maxiter dispatches
+            # (relay watchdog kills single dispatches over ~2 min; the cold
+            # blocked solve under --bf16-inner's tightened tolerance can
+            # exceed that inside the first warmup superstep).  Commit ONLY
+            # the warm start — trajectory identical to unchunked.
+            import functools
+
+            from devicekmc_tpu.physics.current import update_power
+
+            fpow = jax.jit(
+                functools.partial(update_power,
+                                  cg_maxiter=args.chunk_transport)
+            )
+            t0 = time.time()
+            total = 0
+            while True:
+                st, m = fpow(geom, params, state, Vd, cc=cc)
+                state = state.replace(
+                    virtual_potentials=st.virtual_potentials
+                )
+                it = int(m["cg_iters_power"])
+                total += it
+                if it < args.chunk_transport:
+                    break
+            print(f"# chunked cold transport solve: {total} iterations in "
+                  f"{time.time()-t0:.0f}s ({args.chunk_transport}/dispatch)",
+                  file=sys.stderr)
 
     t0 = time.time()
     try:

@@ -18,6 +18,7 @@ device, and snapshots pull it back only every ``log_freq`` steps.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, Optional
@@ -79,6 +80,13 @@ def _phase_power(geom, params, state, Vd, cc=None):
 @jax.jit
 def _phase_transport_cache(geom, params, state):
     return current_mod.assemble_transport_cache(geom, params, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cg_maxiter",))
+def _phase_power_chunk(geom, params, state, Vd, cc=None, cg_maxiter=20000):
+    return current_mod.update_power(
+        geom, params, state, Vd, cg_maxiter=cg_maxiter, cc=cc
+    )
 
 
 @jax.jit
@@ -504,6 +512,26 @@ class Simulation:
             )
         raise RuntimeError("chunked boundary solve failed to converge")
 
+    def _chunked_transport(self, Vd: float, chunk: int):
+        """Pre-solve the transport network in bounded-maxiter CG dispatches.
+
+        Commits ONLY the ``virtual_potentials`` warm start — power/I_macro
+        stay untouched so the first superstep's IR drop and trajectory are
+        identical to an unchunked run; its in-jit transport solve then
+        starts converged (or nearly) instead of paying the cold solve in
+        one >2-minute dispatch."""
+        for _ in range(1000):
+            st, m = _phase_power_chunk(
+                self.geom, self.params, self.state, Vd,
+                cc=self._cc, cg_maxiter=chunk,
+            )
+            self.state = self.state.replace(
+                virtual_potentials=st.virtual_potentials
+            )
+            if int(m["cg_iters_power"]) < chunk:
+                return
+        raise RuntimeError("chunked transport solve failed to converge")
+
     # -- logging ---------------------------------------------------------
     def _log(self, text: str):
         self._buffer.append(text)
@@ -724,6 +752,11 @@ class Simulation:
                 Vd, chunk if chunk > 0 else self.params.solver_maxiter,
                 cold_params,
             )
+        if params.solve_current and chunk > 0 and resume_step == 0:
+            # same watchdog-proofing for the cold transport solve (at 75k+
+            # atoms a cold blocked-CG solve can exceed the ~2-minute relay
+            # dispatch limit in one jitted superstep)
+            self._chunked_transport(Vd, chunk)
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")
         os.makedirs(folder, exist_ok=True)

@@ -317,3 +317,36 @@ def test_chunked_cold_solves_converge(tmp_path):
         np.asarray(sim_a.state.potential_boundary),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_chunked_transport_presolve_trajectory_neutral(tmp_path):
+    """solver_chunk_iters > 0 also pre-solves the transport network in
+    bounded-maxiter dispatches (relay-watchdog-proofing for 75k+-atom cold
+    solves).  Only the warm start is committed, so the KMC trajectory and
+    I_macro must be identical to the unchunked run."""
+    cfg_a, s = _make_cfg(tmp_path / "a")
+    (tmp_path / "a").mkdir(exist_ok=True)
+    sim_a = Simulation(cfg_a, elements=s.elements, coords=s.coords)
+    sim_a.run_bias_point(2.0, 1e-12, max_steps=4)
+
+    cfg_b, _ = _make_cfg(tmp_path / "b", solver_chunk_iters=4)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    sim_b = Simulation(cfg_b, elements=s.elements, coords=s.coords)
+    sim_b.run_bias_point(2.0, 1e-12, max_steps=4)
+
+    np.testing.assert_array_equal(
+        np.asarray(sim_b.state.element), np.asarray(sim_a.state.element)
+    )
+    # a different (pre-solved) warm start changes CG's path, so the
+    # converged solutions agree only to the solver-tolerance envelope
+    # (criterion-invisible residual ~1e-5 relative; same contract as the
+    # mixed-precision floor)
+    np.testing.assert_allclose(
+        float(sim_b.state.I_macro), float(sim_a.state.I_macro), rtol=1e-4
+    )
+    # the tolerance-level I_macro difference feeds back through the IR
+    # drop (V_vcm = Vd - I_macro*Rs) into the rates, so kmc_time agrees to
+    # the same envelope, not bitwise
+    np.testing.assert_allclose(
+        float(sim_b.state.kmc_time), float(sim_a.state.kmc_time), rtol=1e-5
+    )
