@@ -308,6 +308,13 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    if args.bf16_inner and args.precision != "mixed":
+        # the bf16 twins feed the f32 INNER iterations only and rely on the
+        # mixed path's f64 refinement for correctness; in pure f32/f64 mode
+        # the whole solve would run on the bf16-perturbed operator with no
+        # exact residual pass
+        ap.error("--bf16-inner requires --precision mixed")
+
     import jax
 
     if args.cpu:
@@ -429,7 +436,7 @@ def main():
         fsolve = jax.jit(solve_boundary_potential)
         t0 = time.time()
         total = 0
-        while True:
+        for _ in range(1000):
             state, m = fsolve(geom, pchunk, state, Vd)
             it = int(m["cg_iters_boundary"])
             total += it
@@ -437,6 +444,11 @@ def main():
                 break
             state = state.replace(
                 Vd_prev=jnp.full_like(state.Vd_prev, jnp.nan)
+            )
+        else:
+            raise RuntimeError(
+                "chunked cold boundary solve failed to converge in 1000 "
+                "dispatches"
             )
         print(f"# chunked cold boundary solve: {total} iterations in "
               f"{time.time()-t0:.0f}s ({args.chunk_cold}/dispatch)",
@@ -474,15 +486,21 @@ def main():
             )
             t0 = time.time()
             total = 0
-            while True:
+            for _ in range(1000):
                 st, m = fpow(geom, params, state, Vd, cc=cc)
                 state = state.replace(
                     virtual_potentials=st.virtual_potentials
                 )
-                it = int(m["cg_iters_power"])
-                total += it
-                if it < args.chunk_transport:
+                total += int(m["cg_iters_power"])
+                # explicit convergence signal (iteration count alone is
+                # ambiguous when cg_solve_mixed's max_outer binds first)
+                if bool(m["transport_converged"]):
                     break
+            else:
+                raise RuntimeError(
+                    "chunked cold transport solve failed to converge in "
+                    "1000 dispatches"
+                )
             print(f"# chunked cold transport solve: {total} iterations in "
                   f"{time.time()-t0:.0f}s ({args.chunk_transport}/dispatch)",
                   file=sys.stderr)

@@ -320,9 +320,9 @@ class Simulation:
                 partial(multi_superstep_impl, n_steps=self.cfg.batch_steps)
             )
             self._msuperstep = (
-                lambda st, Vd, icc, t_end: mj(
+                lambda st, Vd, icc, t_end, limit: mj(
                     self.geom, self.params, self.heat, st, Vd, icc, t_end,
-                    cc=self._cc,
+                    cc=self._cc, limit=limit,
                 )
             )
 
@@ -471,6 +471,25 @@ class Simulation:
         self._rebuild_supersteps()
         return True
 
+    def _redo_exhausted_msg(self, metrics: Dict) -> str:
+        """The never-silently-truncate contract: a bucket that still
+        overflows after 4 grow-and-redo attempts must fail loudly."""
+        counts = {
+            k: self._metric_max(metrics, k)
+            for k in ("n_active_rows", "n_vac_atoms", "n_charged_sites",
+                      "tunnel_int_steps_needed")
+            if k in metrics
+        }
+        caps = {
+            k: getattr(self.params, k)
+            for k in ("active_rows_cap", "tunnel_vac_cap",
+                      "poisson_compact_cap", "tunnel_int_steps")
+        }
+        return (
+            "compaction bucket still overflowing after 4 grow-and-redo "
+            f"attempts; counts={counts}, caps={caps}"
+        )
+
     def _check_caps(self, metrics: Dict) -> bool:
         """Grow any overflowing/near-full compaction bucket; True = the
         dispatch was computed on a truncated set and must be redone."""
@@ -528,7 +547,11 @@ class Simulation:
             self.state = self.state.replace(
                 virtual_potentials=st.virtual_potentials
             )
-            if int(m["cg_iters_power"]) < chunk:
+            # loop on the explicit convergence signal, NOT the iteration
+            # count: cg_solve_mixed also exits at max_outer refinement
+            # rounds with total inner iters < chunk while the residual is
+            # still above tolerance (ADVICE r2)
+            if bool(m["transport_converged"]):
                 return
         raise RuntimeError("chunked transport solve failed to converge")
 
@@ -786,11 +809,13 @@ class Simulation:
 
             prev_state = self.state
             self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
-            for _ in range(4):
+            for attempt in range(5):
                 # a compaction bucket overflowed: redo the step with the
                 # larger cap(s) until every bucket fits
                 if not self._check_caps(metrics):
                     break
+                if attempt == 4:
+                    raise RuntimeError(self._redo_exhausted_msg(metrics))
                 self.state = prev_state
                 self.state, step_time, metrics = self._superstep(self.state, Vd, self._cc)
 
@@ -861,39 +886,96 @@ class Simulation:
         """Batched main loop: ``batch_steps`` supersteps per device
         dispatch, with the time-window and compliance checks running
         on-device (superstep.multi_superstep_impl).  Logging granularity is
-        unchanged (the stacked per-step metrics are unrolled into the same
-        output.txt schema); snapshots land on batch boundaries."""
+        unchanged: per-step V_vcm uses the RUNNING I_macro (reconstructed
+        from the stacked per-step current metric) and per-step KMC times
+        accumulate the stacked step_times, exactly as the per-step driver
+        logs them.  Snapshot steps run through the per-step path (batches
+        stop at snapshot boundaries via the traced ``limit``), so snapshots
+        keep the reference's mid-superstep element/potential pairing
+        (src/kmc_main.cpp:198-205)."""
         cfg, params = self.cfg, self.params
         icc_A = cfg.Icc * 1e-6
         step_count = resume_step
         summary: Dict = {}
         kmc_time = float(self.state.kmc_time)
+        I_macro = float(self.state.I_macro)
         lf = max(cfg.log_freq, 1)
         next_snap = -(-resume_step // lf) * lf
 
         while kmc_time < t_end:
             if max_steps is not None and step_count >= max_steps:
                 break
-            if step_count >= next_snap:
-                self.write_snapshot(step_count, folder)
-                next_snap += max(cfg.log_freq, 1)
+
+            if step_count == next_snap:
+                # snapshot step: per-step path for exact reference pairing
+                self._log("--------------\n")
+                self._log(f"KMC step count: {step_count}\n")
+                self._log(f"V_vcm: {Vd - I_macro * cfg.Rs:g}\n")
+                t0 = time.perf_counter()
+                prev_state = self.state
+                self.state, step_time, metrics = self._superstep(
+                    self.state, Vd, self._cc
+                )
+                for attempt in range(5):
+                    if not self._check_caps(metrics):
+                        break
+                    if attempt == 4:
+                        raise RuntimeError(self._redo_exhausted_msg(metrics))
+                    self.state = prev_state
+                    self.state, step_time, metrics = self._superstep(
+                        self.state, Vd, self._cc
+                    )
+                self.write_snapshot(
+                    step_count, folder,
+                    elem_state=prev_state, field_state=self.state,
+                )
+                jax.block_until_ready(self.state.element)
+                dt = time.perf_counter() - t0
+                kmc_time += float(step_time)
+                self.state = self.state.replace(
+                    kmc_time=jnp.asarray(kmc_time, params.dtype)
+                )
+                I_macro = float(self.state.I_macro)
+                result = {k: float(v) for k, v in metrics.items()}
+                result["Z - calculation time - KMC superstep [s]"] = dt
+                summary = result
+                self._log(f"KMC time is: {kmc_time:g}\n")
+                for k in sorted(result):
+                    self._log(f"{k}: {result[k]:.10g}\n")
+                self._log("--------------------------------------\n")
+                step_count += 1
+                next_snap += lf
+                self._pos = (self._pos[0], step_count)
+                self._flush()
+                if I_macro > icc_A:
+                    self._log("I_macro > Icc, compliance current reached.\n")
+                    break
+                continue
+
+            # batched dispatch, stopped at the next snapshot boundary
+            lim = min(next_snap - step_count, cfg.batch_steps)
+            if max_steps is not None:
+                lim = min(lim, max_steps - step_count)
+            lim_a = jnp.asarray(lim, jnp.int32)
 
             t0 = time.perf_counter()
             prev_state = self.state
+            kmc_start, I_start = kmc_time, I_macro
             self.state, step_times, ms = self._msuperstep(
-                self.state, Vd, icc_A, t_end
+                self.state, Vd, icc_A, t_end, lim_a
             )
             jax.block_until_ready(self.state.element)
-            for _ in range(4):
+            for attempt in range(5):
                 # bucket overflow mid-batch: the whole batch was computed on
                 # a truncated set — restore the pre-batch state, grow the
-                # cap(s) (recompiles), redo.  (The round-1 batched path
-                # skipped these checks entirely.)
+                # cap(s) (recompiles), redo.
                 if not self._check_caps(ms):
                     break
+                if attempt == 4:
+                    raise RuntimeError(self._redo_exhausted_msg(ms))
                 self.state = prev_state
                 self.state, step_times, ms = self._msuperstep(
-                    self.state, Vd, icc_A, t_end
+                    self.state, Vd, icc_A, t_end, lim_a
                 )
                 jax.block_until_ready(self.state.element)
             dt_batch = time.perf_counter() - t0
@@ -902,19 +984,25 @@ class Simulation:
             n_done = int(active.sum())
             kmc_time = float(self.state.kmc_time)
             I_macro = float(self.state.I_macro)
+            st_np = np.asarray(step_times)
             rows = {
                 k: np.asarray(v) for k, v in ms.items() if k != "active"
             }
+            I_hist = rows.get("Current [uA]")
+            t_run, I_run = kmc_start, I_start
             for r in range(n_done):
                 self._log("--------------\n")
                 self._log(f"KMC step count: {step_count}\n")
-                self._log(f"V_vcm: {Vd - I_macro * cfg.Rs:g}\n")
+                self._log(f"V_vcm: {Vd - I_run * cfg.Rs:g}\n")
                 result = {k: float(v[r]) for k, v in rows.items()}
                 result["Z - calculation time - KMC superstep [s]"] = (
                     dt_batch / max(n_done, 1)
                 )
                 summary = result
-                self._log(f"KMC time is: {kmc_time:g}\n")
+                t_run += float(st_np[r])
+                if I_hist is not None:
+                    I_run = float(I_hist[r]) * 1e-6
+                self._log(f"KMC time is: {t_run:g}\n")
                 for k in sorted(result):
                     self._log(f"{k}: {result[k]:.10g}\n")
                 self._log("--------------------------------------\n")

@@ -31,6 +31,10 @@ class CGResult(NamedTuple):
     rel0: jnp.ndarray = jnp.nan   # initial relative residual ||r0||/||b||
                                   # (cg_solve_mixed only; solve-hardness
                                   # observability for the deflation gate)
+    converged: jnp.ndarray = True  # final residual met the tolerance (the
+                                   # explicit signal chunked-dispatch drivers
+                                   # must loop on — iteration counts alone
+                                   # are ambiguous when max_outer binds)
 
 
 def cg_solve(
@@ -108,7 +112,11 @@ def cg_solve(
     x, r, _, rz, iters = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32))
     )
-    return CGResult(x=x, iters=iters, residual=jnp.sqrt(jnp.abs(measure2(r, rz))))
+    final2 = measure2(r, rz)
+    return CGResult(
+        x=x, iters=iters, residual=jnp.sqrt(jnp.abs(final2)),
+        converged=final2 <= thresh2,
+    )
 
 
 def cg_solve_mixed(
@@ -205,9 +213,11 @@ def cg_solve_mixed(
         outer_body,
         (x0, r0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
+    rnorm = jnp.sqrt(jnp.dot(r, r))
     return CGResult(
-        x=x, iters=inner_iters, residual=jnp.sqrt(jnp.dot(r, r)),
+        x=x, iters=inner_iters, residual=rnorm,
         rel0=jnp.sqrt(jnp.dot(r0, r0)) / jnp.where(bnorm > 0, bnorm, 1.0),
+        converged=rnorm <= thresh,
     )
 
 

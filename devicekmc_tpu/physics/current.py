@@ -503,7 +503,10 @@ def assemble_X_blocks(
             hi_dyn, -(high_G - low_G), 0.0
         ).astype(jnp.float32)
         out["band_vnb_safe"] = vsafe
-    if getattr(params, "transport_bf16_inner", False):
+    if params.mixed and getattr(params, "transport_bf16_inner", False):
+        # (mixed-mode only: without the f64 refinement stream the whole
+        # solve would run on the bf16-perturbed operator with no exact
+        # residual pass — the twins must never exist in pure-f32/f64 mode)
         # bf16 twins of the tunnel blocks for the f32 INNER iterations
         # only: halves the dominant per-iteration HBM stream (the 2.45 GB
         # metal block) on the MXU's native bf16 path.  The f64 refinement
@@ -671,7 +674,7 @@ def build_banded_nb(
     C = np.zeros((R, B, W), dtype=np.float32)
     ri, ci = inv[rows], inv[cols]
     C[ri // B, ri % B, ci - (ri // B - p) * B] = vals
-    if getattr(params, "transport_bf16_inner", False):
+    if params.mixed and getattr(params, "transport_bf16_inner", False):
         # the band feeds ONLY the f32 inner-CG matvec (the f64 refinement
         # keeps the exact ELL path), so under the bf16-inner contract it can
         # be STORED bf16 outright: halves both HBM residency and the
@@ -983,6 +986,10 @@ def update_power_blocked(
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
         "cg_iters_power": cg_iters,
         "transport_rel0": getattr(res, "rel0", jnp.nan),
+        # the explicit convergence signal chunked-dispatch drivers loop on
+        # (iteration counts alone are ambiguous: cg_solve_mixed can also
+        # exit at max_outer refinement rounds with iters < maxiter)
+        "transport_converged": res.converged,
         "contact_potential_drop": contact_drop,
         "tunnel_int_steps_needed": blk["int_steps_needed"],
     }
@@ -1022,6 +1029,7 @@ def update_power(
     rhs = rhs.at[1].set(loop_G * Vd)
 
     cg_iters = jnp.asarray(0, jnp.int32)
+    cg_converged = jnp.asarray(True)
     if method == "direct":
         v = jnp.linalg.solve(Dsub, rhs)
     elif method == "cg_f32scaled" or (method == "cg" and params.mixed):
@@ -1049,6 +1057,7 @@ def update_power(
         )
         v = res.x * dsi
         cg_iters = res.iters
+        cg_converged = res.converged
     else:
         x0 = state.virtual_potentials[:Nsub]
         # "pre" criterion: the matrix rows span ~21 decades (loop_G penalty
@@ -1059,6 +1068,7 @@ def update_power(
         )
         v = res.x
         cg_iters = res.iters
+        cg_converged = res.converged
 
     # potential-drop sanity check (src/current_solver.cpp:239-243)
     contact_drop = jnp.abs(v[nsi] - Vd)
@@ -1131,6 +1141,7 @@ def update_power(
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
         "cg_iters_power": cg_iters,
+        "transport_converged": cg_converged,
         "contact_potential_drop": contact_drop,
     }
     if solve_heat:

@@ -57,7 +57,7 @@ def superstep_impl(
 
 def multi_superstep_impl(
     geom: Geometry, params: PhysParams, heat, state: SimState, Vd,
-    Icc_A, t_end, n_steps: int, cc=None,
+    Icc_A, t_end, n_steps: int, cc=None, limit=None,
 ):
     """Run up to ``n_steps`` supersteps in ONE device dispatch.
 
@@ -69,11 +69,19 @@ def multi_superstep_impl(
     sub-millisecond superstep) and removes per-step host round-trips, at
     the cost of logging granularity: metrics come back stacked [n_steps]
     with an ``active`` mask.
+
+    ``limit``: optional traced int — only the first ``limit`` steps of the
+    batch run (the rest become no-ops).  The driver uses this to stop a
+    batch exactly at a snapshot boundary without recompiling for every
+    remainder, so snapshot steps can run through the per-step path with
+    the reference's mid-superstep element/potential pairing.
     """
     import jax
 
-    def body(carry, _):
+    def body(carry, step_idx):
         st, done = carry
+        if limit is not None:
+            done = done | (step_idx >= limit)
         new_st, step_time, metrics = superstep_impl(
             geom, params, heat, st, Vd, cc=cc
         )
@@ -88,6 +96,7 @@ def multi_superstep_impl(
         return (st_out, done_next), (step_time, metrics)
 
     (final_state, done), (step_times, metrics_stacked) = jax.lax.scan(
-        body, (state, jnp.asarray(False)), None, length=n_steps
+        body, (state, jnp.asarray(False)),
+        jnp.arange(n_steps, dtype=jnp.int32),
     )
     return final_state, step_times, metrics_stacked

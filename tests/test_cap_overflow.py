@@ -134,6 +134,28 @@ def test_tunnel_int_steps_growth(tmp_path):
     assert sim._check_caps({"tunnel_int_steps_needed": 70}) is False
 
 
+def test_redo_exhaustion_raises(tmp_path):
+    """A pathological growth sequence that never fits must fail loudly
+    after 4 grow-and-redo attempts — never silently truncate."""
+    cfg, s = _make_cfg(tmp_path)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords)
+    sim._check_caps = lambda metrics: True      # "still overflowing" forever
+    with pytest.raises(RuntimeError, match="grow-and-redo"):
+        _trajectory(sim, steps=1)
+
+
+def test_redo_exhaustion_raises_batched(tmp_path):
+    """Same contract on the batched driver's batch-dispatch redo loop."""
+    cfg, s = _make_cfg(tmp_path, batch_steps=3, log_freq=1000)
+    sim = Simulation(cfg, elements=s.elements, coords=s.coords)
+    assert sim._msuperstep is not None
+    # step 0 is a snapshot step (per-step path); fail only on batched
+    # dispatches, whose stacked metrics carry the "active" mask
+    sim._check_caps = lambda metrics: "active" in metrics
+    with pytest.raises(RuntimeError, match="grow-and-redo"):
+        _trajectory(sim, steps=3)
+
+
 def test_fixed_cap_overflow_raises(tmp_path):
     """A user-fixed cap that overflows must fail loudly, not truncate."""
     cfg, s = _make_cfg(tmp_path, poisson_compact_cap=2)

@@ -116,3 +116,31 @@ def test_driver_batched_mode(tmp_path):
     assert r1["kmc_time"] == pytest.approx(r4["kmc_time"], rel=1e-12)
     out = open(os.path.join(cfg4.output_dir, "output.txt")).read()
     assert "Current [uA]:" in out and "KMC step count:" in out
+
+    # batched logging fidelity: every physics line (V_vcm with the RUNNING
+    # I_macro, per-step KMC times, metric values) must match the per-step
+    # driver's output.txt exactly; only wall-clock timing lines may differ
+    def _physics_lines(path):
+        return [
+            ln for ln in open(path).read().splitlines()
+            if not ln.startswith("Z - calculation time")
+            and not ln.startswith("-")
+            and not ln.startswith("Created folder")
+        ]
+
+    assert _physics_lines(os.path.join(cfg4.output_dir, "output.txt")) == \
+        _physics_lines(os.path.join(cfg1.output_dir, "output.txt"))
+
+    # batched snapshots keep the reference's mid-superstep element/potential
+    # pairing: every snapshot file must be byte-identical to per-step mode
+    d1 = os.path.join(cfg1.output_dir, "Results_2.000000")
+    d4 = os.path.join(cfg4.output_dir, "Results_2.000000")
+    snaps = sorted(f for f in os.listdir(d1) if f.startswith("snapshot"))
+    assert snaps and snaps == sorted(
+        f for f in os.listdir(d4) if f.startswith("snapshot")
+    )
+    for f in snaps:
+        assert (
+            open(os.path.join(d4, f)).read()
+            == open(os.path.join(d1, f)).read()
+        ), f"snapshot mismatch: {f}"
