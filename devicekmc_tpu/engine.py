@@ -271,8 +271,26 @@ class Simulation:
         if self.decomposition == "halo":
             from .parallel.halo_superstep import make_halo_superstep
 
+            self._tstat = self._tspec = self._tsizes = None
+            self._halo_cc_fn = None
+            if cfg.solve_current:
+                if self.params.transport != "blocked":
+                    raise ValueError(
+                        "halo decomposition requires transport='blocked' "
+                        "(the dense X matrix cannot shard); set "
+                        "transport = blocked"
+                    )
+                from .parallel.halo_transport import build_transport_static
+
+                self._tstat, self._tspec, self._tsizes = (
+                    build_transport_static(
+                        self.geom, self.params,
+                        np.asarray(self.state.element), mesh,
+                    )
+                )
             self._make = lambda g, p, h: make_halo_superstep(
-                g, p, h, mesh, self._halo_width
+                g, p, h, mesh, self._halo_width,
+                tstat=self._tstat, tspec=self._tspec, tsizes=self._tsizes,
             )
         elif mesh is not None:
             from .parallel.sharding import make_sharded_superstep
@@ -762,12 +780,23 @@ class Simulation:
                     f"{time.perf_counter() - t0:.6g}\n"
                 )
             if params.transport == "blocked":
-                cache = dict(
-                    _phase_transport_cache(self.geom, params, self.state)
-                )
-                if self._band is not None:
-                    cache["band"] = self._band
-                self._cc = cache
+                if self.decomposition == "halo":
+                    # sharded per-bias metal-block row cache
+                    if self._halo_cc_fn is None:
+                        from .parallel.halo_superstep import make_halo_cc_cache
+
+                        self._halo_cc_fn = make_halo_cc_cache(
+                            self.geom, self.params, self.mesh,
+                            self._tstat, self._tspec, self._tsizes,
+                        )
+                    self._cc = {"cc": self._halo_cc_fn(params, self.state)}
+                else:
+                    cache = dict(
+                        _phase_transport_cache(self.geom, params, self.state)
+                    )
+                    if self._band is not None:
+                        cache["band"] = self._band
+                    self._cc = cache
         if params.solve_potential and resume_step == 0:
             # pre-solve the boundary network so the first superstep takes
             # its exact-skip path instead of paying the cold solve in-jit
@@ -775,10 +804,12 @@ class Simulation:
                 Vd, chunk if chunk > 0 else self.params.solver_maxiter,
                 cold_params,
             )
-        if params.solve_current and chunk > 0 and resume_step == 0:
+        if params.solve_current and chunk > 0 and resume_step == 0 \
+                and self.decomposition != "halo":
             # same watchdog-proofing for the cold transport solve (at 75k+
             # atoms a cold blocked-CG solve can exceed the ~2-minute relay
-            # dispatch limit in one jitted superstep)
+            # dispatch limit in one jitted superstep).  The halo path skips
+            # this: its per-device work is already 1/ndev of a dispatch.
             self._chunked_transport(Vd, chunk)
 
         folder = os.path.join(cfg.output_dir, f"Results_{Vd:.6f}")

@@ -211,6 +211,7 @@ def _halo_dirichlet_laplace(
 def _halo_superstep_body(
     geom: Geometry, params: PhysParams, state: SimState, Vd,
     halo: int, axis: str = "sites",
+    heat=None, tstat=None, tsizes=None, cc=None,
 ) -> Tuple[SimState, jnp.ndarray, Dict]:
     sh = _Shard(geom.neigh_idx, halo, axis)
     metrics: Dict = {}
@@ -324,6 +325,42 @@ def _halo_superstep_body(
             state.T_bg, key,
         )
 
+    # ---- 5. transport + dissipated power (halo_transport.py) ----
+    I_macro = state.I_macro
+    P_tot = state.P_tot
+    power = state.power
+    vp = state.virtual_potentials
+    T_bg = state.T_bg
+    temperature = state.temperature
+    if params.solve_current:
+        from .halo_transport import halo_heat_local_cg, halo_transport_power
+
+        vp, I_macro, atom_power, P_tot, m_t = halo_transport_power(
+            sh, geom, params, tstat, tsizes,
+            element, charge, state.CB_edge, vp, Vd,
+            T_cc_loc=(cc or {}).get("cc"),
+        )
+        metrics.update(m_t)
+        sa = tstat["site_atom"]                  # local [S]
+        power = jnp.where(
+            sa >= 0, atom_power[jnp.maximum(sa, 0)], 0.0
+        ).astype(dtype)
+
+        # ---- 6. heat (global model takes precedence, heat.py dispatch) ----
+        if params.solve_heating_global:
+            from ..physics.heat import global_ode
+
+            T_new = global_ode(params, T_bg, P_tot, step_time)
+            T_bg = T_new.astype(dtype)
+            metrics["Global temperature [K]"] = T_new
+        elif params.solve_heating_local and heat is not None \
+                and heat.n_interface:
+            temperature, T_bg, m_h = halo_heat_local_cg(
+                sh, geom, params, heat, element, power, temperature,
+                step_time,
+            )
+            metrics.update(m_h)
+
     new_state = state.replace(
         element=element,
         charge=charge,
@@ -333,6 +370,12 @@ def _halo_superstep_body(
         Vd_prev=jnp.asarray(Vd, dtype),
         key=key,
         kmc_time=state.kmc_time + step_time,
+        power=power,
+        I_macro=I_macro,
+        P_tot=P_tot,
+        virtual_potentials=vp,
+        T_bg=T_bg,
+        temperature=temperature,
     )
     metrics["n_events"] = n_events
     return new_state, step_time, metrics
@@ -533,19 +576,44 @@ def _halo_event_loop(
 
 def make_halo_superstep(
     geom: Geometry, params: PhysParams, heat, mesh: Mesh, halo: int,
-    axis: str = "sites",
+    axis: str = "sites", tstat=None, tspec=None, tsizes=None,
 ):
     """Build the jitted shard_map superstep for halo decomposition.
 
     Returns ``superstep(state, Vd, cc=None) -> (state, step_time, metrics)``
-    — the same contract as engine.make_superstep.  ``heat``/``cc`` are
-    accepted for interface parity; transport/heating are not yet routed
-    through the halo path (the driver rejects those configs)."""
-    if params.solve_current or params.solve_heating_local or \
-            params.solve_heating_global:
-        raise NotImplementedError(
-            "halo decomposition currently covers charge/potential/events; "
-            "run transport/heating configs with the replicated sharding"
+    — the same contract as engine.make_superstep.  With ``solve_current``
+    the blocked transport operator runs row-sharded (halo_transport.py;
+    ``tstat``/``tspec``/``tsizes`` from build_transport_static are
+    required), ``cc`` optionally carries the per-bias-point sharded
+    metal-block row cache (make_halo_cc_cache), and the heat phase runs
+    distributed (global ODE on the psum'd power; local via the matrix-free
+    CG model, which requires ``heat_solver='cg'``)."""
+    if params.solve_current:
+        if params.transport != "blocked":
+            raise ValueError(
+                "halo transport requires transport='blocked' (the dense "
+                "X matrix cannot shard); set transport = blocked"
+            )
+        if tstat is None or tsizes is None:
+            raise ValueError(
+                "halo transport needs the static tables from "
+                "halo_transport.build_transport_static"
+            )
+        if params.transport_precond == "deflated":
+            # the scaled-metric A-DEF2 machinery is not yet built for the
+            # sharded operator; fall back to Jacobi(+mixed refinement),
+            # which is exact (only the iteration count differs)
+            import sys
+
+            print(
+                "WARNING: transport_precond='deflated' is not available on "
+                "the halo path; using 'jacobi'", file=sys.stderr,
+            )
+            params = params.replace(transport_precond="jacobi")
+    if params.solve_heating_local and (heat is None or heat.method != "cg"):
+        raise ValueError(
+            "halo local heating requires the matrix-free model: set "
+            "heat_solver = cg (the dense interface inverse cannot shard)"
         )
     ndev = int(np.prod(mesh.devices.shape))
     S = geom.N // ndev
@@ -564,33 +632,91 @@ def make_halo_superstep(
 
     gspec = site_axis_specs(geom, geom.N, axis)
     pspec = jax.tree_util.tree_map(lambda _: P(), params)
+    hspec = site_axis_specs(heat, geom.N, axis)
+    tspec = tspec if tstat is not None else {}
+    tstat_in = tstat if tstat is not None else {}
 
-    def body(geom_l, params_l, state_l, Vd):
-        return _halo_superstep_body(geom_l, params_l, state_l, Vd, halo, axis)
+    def body(geom_l, params_l, heat_l, ts_l, state_l, Vd, cc_l):
+        return _halo_superstep_body(
+            geom_l, params_l, state_l, Vd, halo, axis,
+            heat=heat_l, tstat=ts_l, tsizes=tsizes, cc=cc_l,
+        )
 
-    metrics_template = {
-        "Charged vacancies": P(), "Uncharged vacancies": P(),
-        "Charged oxygen ions": P(), "Uncharged oxygen ions": P(),
-        "cg_iters_boundary": P(), "n_charged_sites": P(), "n_events": P(),
-    }
-    if not params.solve_potential:
-        metrics_template = {"n_events": P()}
+    metrics_template = {"n_events": P()}
+    if params.solve_potential:
+        metrics_template.update({
+            "Charged vacancies": P(), "Uncharged vacancies": P(),
+            "Charged oxygen ions": P(), "Uncharged oxygen ions": P(),
+            "cg_iters_boundary": P(), "n_charged_sites": P(),
+        })
+    if params.solve_current:
+        metrics_template.update({
+            "n_vac_atoms": P(), "Current [uA]": P(), "Conductance [uS]": P(),
+            "cg_iters_power": P(), "transport_converged": P(),
+            "contact_potential_drop": P(), "tunnel_int_steps_needed": P(),
+        })
+        if params.solve_heating_global or params.solve_heating_local:
+            metrics_template["Total dissipated power [mW]"] = P()
+            metrics_template["Global temperature [K]"] = P()
 
     cache = {}
 
     def superstep(state: SimState, Vd, cc=None):
-        if "fn" not in cache:
+        key = cc is not None
+        if key not in cache:
             sspec = site_axis_specs(state, geom.N, axis)
-            cache["fn"] = jax.jit(shard_map(
+            ccspec = {"cc": P(axis)} if cc is not None else {}
+            cache[key] = jax.jit(shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(gspec, pspec, sspec, P()),
+                in_specs=(gspec, pspec, hspec, tspec, sspec, P(), ccspec),
                 out_specs=(sspec, P(), metrics_template),
                 check_vma=False,
             ))
-        return cache["fn"](geom, params, state, Vd)
+        return cache[key](
+            geom, params, heat, tstat_in, state, Vd, cc if cc else {}
+        )
 
     return superstep
+
+
+def make_halo_cc_cache(
+    geom: Geometry, params: PhysParams, mesh: Mesh,
+    tstat, tspec, tsizes, axis: str = "sites",
+):
+    """Per-bias-point metal-block cache for the halo transport: the sharded
+    analogue of current.assemble_transport_cache — each device keeps its
+    [Smp, n_mp_pad] row chunk of the metal_p x metal_p tunnel block (valid
+    within a bias point: CB edges are constant).  Returns
+    ``fn(params, state) -> sharded rows`` for ``cc={"cc": rows}``."""
+    from .halo_transport import halo_cc_rows
+
+    gspec = site_axis_specs(geom, geom.N, axis)
+
+    cache = {}
+
+    def build(params, state):
+        if "fn" not in cache:
+            pspec = jax.tree_util.tree_map(lambda _: P(), params)
+
+            def body(geom_l, params_l, ts_l, element, charge, cb):
+                return halo_cc_rows(
+                    geom_l, params_l, ts_l, tsizes, element, charge, cb,
+                    axis,
+                )
+
+            cache["fn"] = jax.jit(shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(gspec, pspec, tspec, P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            ))
+        return cache["fn"](
+            geom, params, tstat, state.element, state.charge, state.CB_edge
+        )
+
+    return build
 
 
 def required_halo(geom_or_neigh) -> int:

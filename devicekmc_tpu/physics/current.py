@@ -265,6 +265,103 @@ def _dist_blocks(pa, pb, lattice, pbc: bool):
     return jnp.sqrt(jnp.sum(d * d, axis=-1))
 
 
+# --- WKB tunnelling physics, shared by the single-device blocked operator
+# --- and the halo-distributed one (parallel/halo_transport.py) -------------
+
+def wkb_env(geom: Geometry, params: PhysParams) -> dict:
+    """Scalars of the WKB transmission model in the pairwise working dtype
+    (f32 in mixed mode — same accuracy contract as assemble_X's docstring).
+    Reference: src/current_solver.cpp:99-154."""
+    cdtype = jnp.float32 if params.mixed else params.dtype
+    return dict(
+        cdtype=cdtype,
+        prefac=(-(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)).astype(cdtype),
+        qV0=(C.Q_C * params.V0).astype(cdtype),
+        dE_step=jnp.asarray(C.Q_C * DV_INT, cdtype),
+        ctol=jnp.asarray(C.Q_C * 0.01, cdtype),
+        nn=params.nn_dist.astype(cdtype),
+        lattice=geom.lattice.astype(cdtype),
+        pbc=geom.pbc,
+        n_int_steps=params.tunnel_int_steps,
+    )
+
+
+def wkb_single_T(env, s, abs_dE):
+    """Single-shot trapezoidal/triangular barrier (trap<->trap,
+    contact<->contact; src/current_solver.cpp:135-154)."""
+    E1 = env["qV0"]
+    E2 = E1 - abs_dE
+    return jnp.where(
+        E2 > 0,
+        jnp.exp(s * (E1 ** 1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)),
+        jnp.where(E2 < 0, jnp.exp(s * E1 ** 1.5), 0.0),
+    )
+
+
+def wkb_window_T(env, s, abs_dE):
+    """contact->trap occupied-energy-window integration
+    (src/current_solver.cpp:99-134).  Trip count is static
+    (params.tunnel_int_steps); exactness requires >= ceil(max |dE| /
+    dE_step) — emitted as a metric for the driver."""
+    qV0, dE_step = env["qV0"], env["dE_step"]
+
+    def int_body(kk, acc):
+        iv = kk * dE_step
+        e1 = qV0 + iv
+        e2 = e1 - abs_dE
+        term = jnp.where(
+            e2 > 0,
+            jnp.exp(s * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
+            jnp.where(e2 < 0, jnp.exp(s * e1 ** 1.5), 0.0),
+        )
+        return acc + jnp.where(iv < abs_dE, term, 0.0)
+
+    return jax.lax.fori_loop(
+        0, env["n_int_steps"], int_body, jnp.zeros_like(s)
+    )
+
+
+def tunnel_block(env, pa, cba, oka, pb, cbb, okb, kernel):
+    """Negated tunnel-transmission block between two point sets (rows a,
+    cols b), chunked over rows when big so elementwise intermediates stay
+    bounded (~128 MB).  ``kernel``: wkb_single_T or wkb_window_T."""
+    cdtype, prefac, nn = env["cdtype"], env["prefac"], env["nn"]
+    ctol, lattice, pbc = env["ctol"], env["lattice"], env["pbc"]
+    C_cols = pb.shape[0]
+
+    def rows(pa_c, cba_c, oka_c):
+        dist = _dist_blocks(pa_c, pb, lattice, pbc)
+        abs_dE = jnp.abs(cba_c[:, None] - cbb[None, :])
+        # dist(i,i)=0 < nn_dist, so self-pairs are excluded by ~neighbour
+        elig = (
+            oka_c[:, None] & okb[None, :] & (abs_dE > ctol) & ~(dist < nn)
+        )
+        safe_abs = jnp.where(elig, abs_dE, 1.0)
+        s = prefac * (dist * 1e-10) / safe_abs
+        return jnp.where(elig, -kernel(env, s, safe_abs), 0.0).astype(cdtype)
+
+    R = pa.shape[0]
+    if R * C_cols <= TUNNEL_CHUNK_ELEMS:
+        return rows(pa, cba, oka)
+    # chunk big blocks over rows so elementwise intermediates stay
+    # bounded (~128 MB) instead of several copies of a multi-GB block
+    chunk = max(8, (TUNNEL_CHUNK_ELEMS // C_cols) // 8 * 8)
+    pad = (-R) % chunk
+    pa_p = jnp.pad(pa, ((0, pad), (0, 0)))
+    cba_p = jnp.pad(cba, (0, pad))
+    oka_p = jnp.pad(oka, (0, pad))        # pad rows: ok=False -> zeros
+    n_ch = (R + pad) // chunk
+    out = jax.lax.map(
+        lambda i: rows(
+            jax.lax.dynamic_slice(pa_p, (i * chunk, jnp.int32(0)), (chunk, 3)),
+            jax.lax.dynamic_slice(cba_p, (i * chunk,), (chunk,)),
+            jax.lax.dynamic_slice(oka_p, (i * chunk,), (chunk,)),
+        ),
+        jnp.arange(n_ch, dtype=jnp.int32),
+    )
+    return out.reshape(-1, C_cols)[:R]
+
+
 def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
     """The metal_p x metal_p (c2c) tunnel block alone.
 
@@ -368,92 +465,26 @@ def assemble_X_blocks(
     mpos, mcb = apos[mp], acb[mp]
     vpos, vcb = apos[vidx], acb[vidx]
 
-    prefac = (-(jnp.sqrt(2.0 * params.m_e) / C.H_BAR) * (2.0 / 3.0)).astype(cdtype)
-    qV0 = (C.Q_C * params.V0).astype(cdtype)
-    dE_step = jnp.asarray(C.Q_C * DV_INT, cdtype)
-    ctol = jnp.asarray(tol, cdtype)
-
-    def _single_T(s, abs_dE):
-        E1 = qV0
-        E2 = E1 - abs_dE
-        return jnp.where(
-            E2 > 0,
-            jnp.exp(s * (E1 ** 1.5 - jnp.where(E2 > 0, E2, 0.0) ** 1.5)),
-            jnp.where(E2 < 0, jnp.exp(s * E1 ** 1.5), 0.0),
-        )
-
-    def _window_T(s, abs_dE):
-        # contact->trap occupied-energy-window integration
-        # (src/current_solver.cpp:99-134); identical math to the dense path.
-        # Trip count is static (params.tunnel_int_steps); exactness requires
-        # >= ceil(max |dE| / dE_step) — emitted as a metric for the driver.
-        def int_body(kk, acc):
-            iv = kk * dE_step
-            e1 = qV0 + iv
-            e2 = e1 - abs_dE
-            term = jnp.where(
-                e2 > 0,
-                jnp.exp(s * (e1 ** 1.5 - jnp.where(e2 > 0, e2, 0.0) ** 1.5)),
-                jnp.where(e2 < 0, jnp.exp(s * e1 ** 1.5), 0.0),
-            )
-            return acc + jnp.where(iv < abs_dE, term, 0.0)
-
-        return jax.lax.fori_loop(
-            0, params.tunnel_int_steps, int_body, jnp.zeros_like(s)
-        )
-
-    def _tunnel_block(pa, cba, oka, pb, cbb, okb, kernel):
-        C_cols = pb.shape[0]
-
-        def rows(pa_c, cba_c, oka_c):
-            dist = _dist_blocks(pa_c, pb, lattice, geom.pbc)
-            abs_dE = jnp.abs(cba_c[:, None] - cbb[None, :])
-            # dist(i,i)=0 < nn_dist, so self-pairs are excluded by ~neighbour
-            elig = (
-                oka_c[:, None] & okb[None, :] & (abs_dE > ctol) & ~(dist < nn)
-            )
-            safe_abs = jnp.where(elig, abs_dE, 1.0)
-            s = prefac * (dist * 1e-10) / safe_abs
-            return jnp.where(elig, -kernel(s, safe_abs), 0.0).astype(cdtype)
-
-        R = pa.shape[0]
-        if R * C_cols <= TUNNEL_CHUNK_ELEMS:
-            return rows(pa, cba, oka)
-        # chunk big blocks over rows so elementwise intermediates stay
-        # bounded (~128 MB) instead of several copies of a multi-GB block
-        chunk = max(8, (TUNNEL_CHUNK_ELEMS // C_cols) // 8 * 8)
-        pad = (-R) % chunk
-        pa_p = jnp.pad(pa, ((0, pad), (0, 0)))
-        cba_p = jnp.pad(cba, (0, pad))
-        oka_p = jnp.pad(oka, (0, pad))        # pad rows: ok=False -> zeros
-        n_ch = (R + pad) // chunk
-        out = jax.lax.map(
-            lambda i: rows(
-                jax.lax.dynamic_slice(pa_p, (i * chunk, jnp.int32(0)), (chunk, 3)),
-                jax.lax.dynamic_slice(cba_p, (i * chunk,), (chunk,)),
-                jax.lax.dynamic_slice(oka_p, (i * chunk,), (chunk,)),
-            ),
-            jnp.arange(n_ch, dtype=jnp.int32),
-        )
-        return out.reshape(-1, C_cols)[:R]
+    env = wkb_env(geom, params)
 
     ones_m = jnp.ones(mp.shape[0], dtype=bool)
     if cc is not None:
         T_cc = cc.astype(cdtype)
     else:
-        T_cc = _tunnel_block(mpos, mcb, ones_m, mpos, mcb, ones_m, _single_T)
+        T_cc = tunnel_block(env, mpos, mcb, ones_m, mpos, mcb, ones_m,
+                            wkb_single_T)
     if _cc_only:
         return dict(T_cc=T_cc)
-    T_vv = _tunnel_block(vpos, vcb, v_ok, vpos, vcb, v_ok, _single_T)
-    T_vm = _tunnel_block(vpos, vcb, v_ok, mpos, mcb, ones_m, _window_T)
+    T_vv = tunnel_block(env, vpos, vcb, v_ok, vpos, vcb, v_ok, wkb_single_T)
+    T_vm = tunnel_block(env, vpos, vcb, v_ok, mpos, mcb, ones_m, wkb_window_T)
 
     # exactness check for the static integration trip count: the number of
     # dE_step windows the widest eligible (vac, metal_p) pair needs
     dist_vm = _dist_blocks(vpos, mpos, lattice, geom.pbc)
     abs_vm = jnp.abs(vcb[:, None] - mcb[None, :])
-    elig_vm = v_ok[:, None] & (abs_vm > ctol) & ~(dist_vm < nn)
+    elig_vm = v_ok[:, None] & (abs_vm > env["ctol"]) & ~(dist_vm < nn)
     int_steps_needed = jnp.ceil(
-        jnp.max(jnp.where(elig_vm, abs_vm, 0.0)) / dE_step
+        jnp.max(jnp.where(elig_vm, abs_vm, 0.0)) / env["dE_step"]
     ).astype(jnp.int32)
 
     # --- virtual-node rows ---

@@ -183,17 +183,25 @@ def empty_heat_model(params: PhysParams) -> HeatModel:
 # global (lumped) model
 # ----------------------------------------------------------------------------
 
+def global_ode(
+    params: PhysParams, T_bg, P_tot, step_time, ambient_coupling: bool = False
+):
+    """Analytic solution of the capacitative heat ODE over the event time
+    (src/heat_solver.cpp:316-350) — shared by the single-device and
+    halo-distributed heat phases."""
+    C_th = params.A * params.t_ox * params.c_p * 1e6          # [J/K]
+    a = params.dissipation_constant / C_th
+    T_couple = params.background_temp if ambient_coupling else T_bg
+    c = a * T_couple + P_tot / C_th
+    return c / a + (T_bg - c / a) * jnp.exp(-a * step_time)
+
+
 def update_temperature_global(
     params: PhysParams, state: SimState, step_time, ambient_coupling: bool = False
 ) -> Tuple[SimState, Dict]:
-    """Analytic capacitative heat ODE over the event time
-    (src/heat_solver.cpp:316-350)."""
+    """Global (lumped) temperature update (src/heat_solver.cpp:316-350)."""
     P_tot = jnp.sum(state.power)
-    C_th = params.A * params.t_ox * params.c_p * 1e6          # [J/K]
-    a = params.dissipation_constant / C_th
-    T_couple = params.background_temp if ambient_coupling else state.T_bg
-    c = a * T_couple + P_tot / C_th
-    T_new = c / a + (state.T_bg - c / a) * jnp.exp(-a * step_time)
+    T_new = global_ode(params, state.T_bg, P_tot, step_time, ambient_coupling)
     new_state = state.replace(T_bg=T_new.astype(params.dtype), P_tot=P_tot)
     return new_state, {
         "Global temperature [K]": T_new,

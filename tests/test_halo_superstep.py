@@ -122,11 +122,99 @@ def test_halo_rejects_oversized_halo(tmp_path):
         )
 
 
-def test_halo_rejects_transport_configs(tmp_path):
+def test_halo_rejects_unshardable_solvers(tmp_path):
+    """Transport/heat configs the halo path cannot shard must fail loudly:
+    the dense X matrix (transport='dense') and the dense interface-inverse
+    heat model (heat_solver='dense') have no distributed form."""
     s = make_test_structure(nx_contact=2, nx_oxide=28, ny=2, nz=2, seed=5)
-    with pytest.raises(NotImplementedError, match="halo"):
+    with pytest.raises(ValueError, match="blocked"):
         Simulation(
-            _cfg(tmp_path, s, solve_current=True, A=6.25e-19),
+            _cfg(tmp_path, s, solve_current=True, A=6.25e-19,
+                 transport="dense"),
             elements=s.elements, coords=s.coords,
             mesh=_mesh(), decomposition="halo",
         )
+    with pytest.raises(ValueError, match="heat_solver"):
+        Simulation(
+            _cfg(tmp_path, s, solve_current=True, A=6.25e-19,
+                 transport="blocked", solve_heating_local=True,
+                 delta_t=1e-14, heat_solver="dense"),
+            elements=s.elements, coords=s.coords,
+            mesh=_mesh(), decomposition="halo",
+        )
+
+
+def _full_physics_pair(tmp_path, s, **over):
+    """Run the same full-physics bias point single-device and halo-sharded;
+    return both sims."""
+    d1 = tmp_path / "single"; d1.mkdir()
+    sim1 = Simulation(
+        _cfg(d1, s, solve_current=True, A=6.25e-19, transport="blocked",
+             **over),
+        elements=s.elements, coords=s.coords,
+    )
+    sim1.run_bias_point(4.0, 1.0, max_steps=8)
+
+    d2 = tmp_path / "halo"; d2.mkdir()
+    sim2 = Simulation(
+        _cfg(d2, s, solve_current=True, A=6.25e-19, transport="blocked",
+             **over),
+        elements=s.elements, coords=s.coords,
+        mesh=_mesh(), decomposition="halo",
+    )
+    sim2.run_bias_point(4.0, 1.0, max_steps=8)
+    return sim1, sim2
+
+
+def _assert_trajectory_equal(sim1, sim2):
+    nr = sim1.geom.N_real
+    np.testing.assert_array_equal(
+        np.asarray(sim1.state.element)[:nr], np.asarray(sim2.state.element)[:nr]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim1.state.charge)[:nr], np.asarray(sim2.state.charge)[:nr]
+    )
+    assert float(sim2.state.kmc_time) == pytest.approx(
+        float(sim1.state.kmc_time), rel=1e-6
+    )
+    # transport observables agree to CG stopping tolerance (the halo CG
+    # runs Jacobi over the padded replicated vector, the single-device one
+    # may deflate — same converged answer, different iterates)
+    assert float(sim2.state.I_macro) == pytest.approx(
+        float(sim1.state.I_macro), rel=1e-3
+    )
+    assert float(sim2.state.P_tot) == pytest.approx(
+        float(sim1.state.P_tot), rel=1e-3, abs=1e-30
+    )
+    pw1 = np.asarray(sim1.state.power)[:nr]
+    pw2 = np.asarray(sim2.state.power)[:nr]
+    scale = max(np.abs(pw1).max(), 1e-30)
+    assert np.abs(pw1 - pw2).max() / scale < 1e-3
+
+
+def test_halo_full_physics_global_heat(tmp_path):
+    """Charge + potential + events + blocked transport + global heat ODE,
+    trajectory-equal halo vs single device (VERDICT r2 item 1: the halo
+    path must carry the FULL pipeline, src/current_solver_gpu.cu:854-1136 +
+    src/heat_solver.cpp:316-350)."""
+    s = make_test_structure(nx_contact=2, nx_oxide=28, ny=2, nz=2, seed=5)
+    sim1, sim2 = _full_physics_pair(tmp_path, s, solve_heating_global=True)
+    _assert_trajectory_equal(sim1, sim2)
+    assert float(sim2.state.T_bg) == pytest.approx(
+        float(sim1.state.T_bg), abs=1e-9
+    )
+
+
+def test_halo_full_physics_local_heat_cg(tmp_path):
+    """Transport + matrix-free local transient heat, distributed
+    (halo_transport.halo_heat_local_cg vs heat.update_temperature_local_cg;
+    reference model src/heat_solver.cpp:354-513)."""
+    s = make_test_structure(nx_contact=2, nx_oxide=28, ny=2, nz=2, seed=5)
+    sim1, sim2 = _full_physics_pair(
+        tmp_path, s, solve_heating_local=True, heat_solver="cg",
+        delta_t=1e-14,
+    )
+    _assert_trajectory_equal(sim1, sim2)
+    t1 = np.asarray(sim1.state.temperature)[: sim1.geom.N_real]
+    t2 = np.asarray(sim2.state.temperature)[: sim1.geom.N_real]
+    assert np.abs(t1 - t2).max() < 1e-8
