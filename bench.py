@@ -92,7 +92,8 @@ def build_crossbar_sim(precision: str, pad_to: int = 1, site_order: str = "file"
 
 
 def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated",
-                            bf16_inner: bool = False):
+                            bf16_inner: bool = False,
+                            pad_to: int = 1, site_order: str = "file"):
     """FULL physics (charge + potentials + KMC + transport + heat) on the
     75,360-atom reference crossbar — beyond the reference's demonstrated
     envelope (its committed crossbar timing runs exclude the current solve;
@@ -101,7 +102,9 @@ def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"
     from devicekmc_tpu.physics import heat as heat_mod
     from devicekmc_tpu.state import build_params, init_state
 
-    geom, params, heat, state = build_crossbar_sim(precision)
+    geom, params, heat, state = build_crossbar_sim(
+        precision, pad_to=pad_to, site_order=site_order
+    )
     # re-derive params with the transport/heat modules on
     from devicekmc_tpu.config import KMCConfig
 
@@ -345,8 +348,11 @@ def main():
 
     pad_to = 1
     if args.mesh:
-        if args.full or args.full_crossbar or args.batch > 1:
+        if args.full or args.batch > 1:
             ap.error("--mesh covers the headline modules (no --full/--batch)")
+        if args.full_crossbar and args.decomposition != "halo":
+            ap.error("--mesh --full-crossbar requires --decomposition halo "
+                     "(the replicated mesh path has no sharded transport)")
         if args.decomposition == "halo":
             from devicekmc_tpu.physics.events import _BLOCK
 
@@ -360,6 +366,7 @@ def main():
         geom, params, heat, state, _ = build_full_crossbar_sim(
             args.precision, vd0, precond=args.precond,
             bf16_inner=args.bf16_inner,
+            pad_to=pad_to, site_order=site_order,
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)
@@ -408,7 +415,22 @@ def main():
             print(f"# halo decomposition: {args.mesh} slabs, "
                   f"halo width {halo}", file=sys.stderr)
             geom, state = shard_halo_simulation(geom, state, mesh)
-            sfn = make_halo_superstep(geom, params, heat, mesh, halo)
+            halo_transport_tables = None
+            if args.full_crossbar:
+                from devicekmc_tpu.parallel.halo_transport import (
+                    build_transport_static,
+                )
+
+                halo_transport_tables = build_transport_static(
+                    geom, params, np.asarray(state.element), mesh
+                )
+                tstat, tspec, tsizes = halo_transport_tables
+                sfn = make_halo_superstep(
+                    geom, params, heat, mesh, halo,
+                    tstat=tstat, tspec=tspec, tsizes=tsizes,
+                )
+            else:
+                sfn = make_halo_superstep(geom, params, heat, mesh, halo)
         else:
             geom, state = shard_simulation(geom, state, mesh)
             sfn = make_sharded_superstep(geom, params, heat, mesh)
@@ -457,7 +479,18 @@ def main():
     if args.full or args.full_crossbar:
         from devicekmc_tpu.physics.potential import solve_cb_edge
         state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
-        if params.transport == "blocked":
+        if args.mesh and args.decomposition == "halo":
+            # sharded per-bias-point metal-block row cache
+            from devicekmc_tpu.parallel.halo_superstep import (
+                make_halo_cc_cache,
+            )
+
+            tstat, tspec, tsizes = halo_transport_tables
+            cc_fn = make_halo_cc_cache(
+                geom, params, mesh, tstat, tspec, tsizes
+            )
+            cc = {"cc": cc_fn(params, state)}
+        elif params.transport == "blocked":
             # per-bias-point cache: the metal_p x metal_p tunnel block
             from devicekmc_tpu.physics.current import (
                 assemble_transport_cache, build_banded_nb,
@@ -470,7 +503,7 @@ def main():
                 print(f"# banded nb operator: "
                       f"{'on, C=' + str(tuple(band['C'].shape)) if band else 'off (too large)'}",
                       file=sys.stderr)
-        if args.chunk_transport > 0:
+        if args.chunk_transport > 0 and not args.mesh:
             # pre-solve the transport network in bounded-maxiter dispatches
             # (relay watchdog kills single dispatches over ~2 min; the cold
             # blocked solve under --bf16-inner's tightened tolerance can

@@ -188,8 +188,10 @@ class Simulation:
             device.
           * ``"halo"`` — x-slab domain decomposition with halo exchange for
             every phase (parallel/halo_superstep.py); memory cost O(N/ndev)
-            per device.  Requires graph bandwidth <= slab size; currently
-            covers charge/potential/events configs.
+            per device.  Requires graph bandwidth <= slab size.  Carries
+            the full pipeline: transport needs ``transport='blocked'`` and
+            local heating needs ``heat_solver='cg'`` (the dense variants
+            cannot shard and are rejected loudly).
         """
         self.cfg = cfg
         self.mesh = mesh

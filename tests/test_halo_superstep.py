@@ -81,9 +81,11 @@ def test_halo_superstep_trajectory_equals_single_device(tmp_path):
     not os.path.exists("/root/reference/depreciated/tests/1-potential"),
     reason="reference structure not available",
 )
-def test_halo_superstep_9k_reference_device(tmp_path):
-    """The 9030-site reference device: 10 supersteps at Vd=20 carry ~950
-    events — any selection/zeroing divergence would show up here."""
+def test_halo_superstep_9k_reference_device_full_physics(tmp_path):
+    """The 9030-site reference device with the FULL pipeline (charge +
+    potential + ~100 events/step + blocked transport + global heat): any
+    selection/zeroing/transport divergence on the halo path shows up
+    here."""
     from devicekmc_tpu.config import parse_parameters
 
     src = "/root/reference/depreciated/tests/1-potential"
@@ -92,16 +94,20 @@ def test_halo_superstep_9k_reference_device(tmp_path):
     cfg.perturb_structure = True
     cfg.t_switch = [1.0]
     cfg.active_rows_cap = 0
+    cfg.solve_current = True
+    cfg.solve_heating_global = True
+    cfg.A = 7.17e-18
+    cfg.transport = "blocked"
 
     d1 = tmp_path / "single"; d1.mkdir()
     cfg.output_dir = str(d1)
     sim1 = Simulation(cfg)
-    sim1.run_bias_point(20.0, 1.0, max_steps=6)
+    sim1.run_bias_point(20.0, 1.0, max_steps=4)
 
     d2 = tmp_path / "halo"; d2.mkdir()
     cfg.output_dir = str(d2)
     sim2 = Simulation(cfg, mesh=_mesh(), decomposition="halo")
-    sim2.run_bias_point(20.0, 1.0, max_steps=6)
+    sim2.run_bias_point(20.0, 1.0, max_steps=4)
 
     nr = sim1.geom.N_real
     np.testing.assert_array_equal(
@@ -109,6 +115,12 @@ def test_halo_superstep_9k_reference_device(tmp_path):
     )
     np.testing.assert_array_equal(
         np.asarray(sim1.state.charge)[:nr], np.asarray(sim2.state.charge)[:nr]
+    )
+    assert float(sim2.state.I_macro) == pytest.approx(
+        float(sim1.state.I_macro), rel=1e-5
+    )
+    assert float(sim2.state.kmc_time) == pytest.approx(
+        float(sim1.state.kmc_time), rel=1e-9
     )
 
 
