@@ -294,9 +294,13 @@ def main():
                     help="disable the potential solves (KMC events module "
                          "alone; bounds dispatch length at 500k+ sites "
                          "under the ~2 min axon relay watchdog)")
-    ap.add_argument("--boundary-precond", default="deflated",
+    ap.add_argument("--boundary-precond", default="jacobi",
                     choices=["jacobi", "deflated"],
-                    help="boundary/CB Laplace preconditioning")
+                    help="IN-SUPERSTEP boundary/CB Laplace preconditioning "
+                         "(jacobi default: warm re-solves are setup-"
+                         "dominated and the incremental-residual fast path "
+                         "needs the plain-r criterion; cold solves are "
+                         "chunk-dispatched separately)")
     ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="compacted-Poisson pair sweep implementation "
                          "(pallas: VMEM-resident Mosaic kernel, TPU only)")

@@ -185,6 +185,14 @@ class KMCConfig:
                                            # always pre-solves the COLD bias-start systems
                                            # with deflation (186 -> 72 iters / 15.2 -> 6.5 s
                                            # on the crossbar), where the setup amortises.
+    boundary_incremental: bool = True      # maintain the boundary solve's TRUE residual
+                                           # under sparse conductance changes so churn
+                                           # steps certify convergence in O(changed rows)
+                                           # instead of a full f64 assembly + matvec
+                                           # (~0.3 s/step at 110k sites).  Exact: the same
+                                           # plain-r criterion, computed incrementally.
+    boundary_delta_cap: int = 256          # max changed neutral-vacancy sites tracked per
+                                           # superstep (overflow -> full solve, still exact)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
     solver_chunk_iters: int = 0            # >0: pre-solve cold bias-start Laplace systems
                                            # as a host loop of bounded-maxiter CG dispatches
@@ -254,7 +262,7 @@ _BOOL_KEYS = {
     "restart", "pristine", "shift", "pbc", "log_to_file", "verbose",
     "solve_potential", "solve_current", "solve_heating_global",
     "solve_heating_local", "perturb_structure", "transport_banded",
-    "transport_bf16_inner",
+    "transport_bf16_inner", "boundary_incremental",
 }
 _INT_KEYS = {
     "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",
@@ -262,6 +270,7 @@ _INT_KEYS = {
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
     "tunnel_int_steps", "coarse_slabs", "solver_chunk_iters",
+    "boundary_delta_cap",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",

@@ -619,6 +619,7 @@ class Simulation:
         "potential_charge", "CB_edge", "power", "temperature",
         "T_bg", "key", "kmc_time", "I_macro", "P_tot",
         "virtual_potentials", "step_count", "cvac_prev", "Vd_prev",
+        "boundary_r", "boundary_b",
     )
     _CKPT_CAP_FIELDS = (
         # compaction caps grown by _check_caps: must survive a resume or
@@ -656,6 +657,11 @@ class Simulation:
             if hasattr(cur, "dtype") and f != "key":
                 arr = arr.astype(cur.dtype)
             kw[f] = arr
+        if "boundary_r" not in data and "Vd_prev" in kw:
+            # pre-round-3 checkpoint without the residual anchor: force a
+            # full boundary solve on resume (stale-zero r/b must never
+            # certify an incremental skip)
+            kw["Vd_prev"] = jnp.full_like(kw["Vd_prev"], jnp.nan)
         self.state = self.state.replace(**kw)
         if caps and any(
             caps[k] != getattr(self.params, k) for k in caps

@@ -77,6 +77,7 @@ def _dirichlet_laplace_solve(
     mixed: str = "",
     masks=None,         # (left, right, interior) override; default geom masks
     deflate_slabs: int = 0,
+    want_residual: bool = False,
 ):
     """Solve the graph Laplacian with Dirichlet contacts (geom.left_mask /
     geom.right_mask, or the ``masks`` override).  Returns the full-length
@@ -189,7 +190,89 @@ def _dirichlet_laplace_solve(
     phi = jnp.where(
         is_left, v_left, jnp.where(is_right, v_right, res.x)
     ).astype(edge_g.dtype)
+    if want_residual:
+        # TRUE residual of the returned solution (not CG's recursion
+        # residual, which drifts by ~eps*kappa over the iterations) — the
+        # anchor the incremental fast path updates exactly
+        r_true = jnp.where(interior, b - matvec(res.x), 0.0)
+        return phi, res, r_true, b
     return phi, res
+
+
+def _incremental_boundary_residual(
+    geom: Geometry, params: PhysParams, state: SimState, cvac, changed,
+    v_left, v_right,
+):
+    """Exact O(changed rows) update of the stored boundary residual/RHS.
+
+    An event changes the conductance network only on rows touching a site
+    whose neutral-vacancy membership flipped, so ``r = b - L_II x`` and
+    ``b`` change only on those rows and their neighbours.  Recompute
+    exactly those rows with the same arithmetic as
+    :func:`_dirichlet_laplace_solve` (f64 row gathers, O(cap * max_nn))
+    and re-evaluate the plain-r convergence criterion — the identical
+    decision a fresh assembly + matvec would make, at ~1/1000 the cost.
+
+    Returns ``(r_new, b_new, converged)``; ``converged`` is False when the
+    changed set overflows ``boundary_delta_cap`` (the caller then takes the
+    full-solve branch, which is exact either way).
+    """
+    from ..ops.compact import nonzero_fixed
+
+    dtype = params.dtype
+    cap = int(params.boundary_delta_cap)
+    n_changed = jnp.sum(changed, dtype=jnp.int32)
+    fits = n_changed <= cap
+
+    ch_idx, _ = nonzero_fixed(changed, cap, fill_value=0)
+    ch_ok = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_changed, cap)
+
+    # affected rows = changed sites + their neighbours (a row's entries
+    # involve only the row site and its neighbour sites)
+    aff = jnp.zeros(geom.N, dtype=bool).at[ch_idx].max(ch_ok)
+    nb = geom.neigh_idx[ch_idx]                       # [cap, max_nn]
+    nb_ok = ch_ok[:, None] & (nb >= 0)
+    aff = aff.at[jnp.where(nb_ok, nb, 0)].max(nb_ok)
+
+    cap2 = cap * (geom.neigh_idx.shape[1] + 1)
+    rows, _ = nonzero_fixed(aff, cap2, fill_value=0)
+    # padded slots recompute row 0 exactly — harmless duplicate writes
+
+    elem = state.element
+    metal = geom.metal_mask_table[elem]
+    interior = geom.bp_interior_mask
+    xm = jnp.where(interior, state.potential_boundary, 0.0)
+
+    rnb = geom.neigh_idx[rows]                        # [cap2, max_nn]
+    rvalid = rnb >= 0
+    rsafe = jnp.where(rvalid, rnb, 0)
+    hi = ((metal[rows][:, None] & metal[rsafe])
+          | (cvac[rows][:, None] & cvac[rsafe]))
+    g = jnp.where(hi, params.high_G, params.low_G)
+    g = jnp.where(rvalid, g, 0.0).astype(dtype)
+
+    nb_left = geom.bp_left_mask[rsafe]
+    nb_right = geom.bp_right_mask[rsafe]
+    nbv = jnp.where(
+        nb_left, v_left, jnp.where(nb_right, v_right, 0.0)
+    ).astype(dtype)
+    int_rows = interior[rows]
+    b_rows = jnp.where(int_rows, jnp.sum(g * nbv, axis=1), 0.0)
+
+    # (L_II x) on the affected rows: diag_i x_i - sum_{j interior} G_ij x_j
+    diag_rows = jnp.sum(g, axis=1)
+    y_rows = diag_rows * xm[rows] - jnp.sum(
+        g * interior[rsafe] * xm[rsafe], axis=1
+    )
+    r_rows = jnp.where(int_rows, b_rows - y_rows, 0.0)
+
+    r_new = state.boundary_r.at[rows].set(r_rows)
+    b_new = state.boundary_b.at[rows].set(b_rows)
+
+    rn2 = jnp.dot(r_new, r_new)
+    ref = jnp.sqrt(jnp.dot(b_new, b_new))
+    thresh = params.solver_tol * jnp.where(ref > 0, ref, 1.0)
+    return r_new, b_new, fits & (rn2 <= thresh * thresh)
 
 
 def solve_boundary_potential(
@@ -199,23 +282,35 @@ def solve_boundary_potential(
     (right), matching both CPU (src/potential_solver.cpp:311-319) and GPU
     sparse (src/potential_solver_gpu.cu:734-771) paths.
 
-    Exact fast path: the conductance network is a function of the static
-    metal mask and the neutral-vacancy set only — if that set and Vd are
-    unchanged since the previous solve, the previous potential *is* the
-    solution and assembly + CG are skipped entirely."""
+    Two exact fast paths:
+      * the conductance network is a function of the static metal mask and
+        the neutral-vacancy set only — if that set and Vd are unchanged
+        since the previous solve, the previous potential *is* the solution
+        and assembly + CG are skipped entirely;
+      * when the set changed sparsely (``boundary_incremental``), the
+        stored TRUE residual is updated on exactly the affected rows and
+        the plain-r criterion re-checked — if the warm solution still
+        satisfies the tolerance (the common case deep into forming: 0-CG-
+        iteration re-solves dominate the superstep otherwise), the full f64
+        assembly + matvec is skipped.  Identical decision rule, so
+        trajectories match the always-assemble path."""
     Vd = jnp.asarray(Vd, dtype=params.dtype)
     elem = state.element
     cvac = (elem == int(Element.VACANCY)) & (state.charge == 0)
-    unchanged = jnp.all(cvac == state.cvac_prev) & (Vd == state.Vd_prev)
+    changed = cvac != state.cvac_prev
+    same_vd = Vd == state.Vd_prev
+    unchanged = jnp.all(~changed) & same_vd
+    vl = (-Vd / 2.0).astype(params.dtype)
+    vr = (Vd / 2.0).astype(params.dtype)
 
-    def skip(state):
-        return state.potential_boundary, jnp.asarray(0, jnp.int32)
+    inc_on = (
+        getattr(params, "boundary_incremental", True)
+        and getattr(params, "boundary_precond", "jacobi") == "jacobi"
+    )
 
     def solve(state):
         edge_g = _edge_conductance_boundary(geom, state, params)
-        vl = (-Vd / 2.0).astype(params.dtype)
-        vr = (Vd / 2.0).astype(params.dtype)
-        phi, res = _dirichlet_laplace_solve(
+        phi, res, r_true, b = _dirichlet_laplace_solve(
             geom, edge_g, vl, vr,
             x0=state.potential_boundary,
             tol=params.solver_tol, maxiter=params.solver_maxiter,
@@ -226,12 +321,35 @@ def solve_boundary_potential(
                 if getattr(params, "boundary_precond", "jacobi") == "deflated"
                 else 0
             ),
+            want_residual=True,
         )
-        return phi, res.iters
+        return phi, res.iters, r_true, b
 
-    phi, iters = jax.lax.cond(unchanged, skip, solve, state)
+    def pure_skip(state):
+        # network identical: the stored potential/residual anchor are
+        # bit-exact; no delta work at all
+        return (state.potential_boundary, jnp.asarray(0, jnp.int32),
+                state.boundary_r, state.boundary_b)
+
+    if inc_on:
+        def on_change(state):
+            r_inc, b_inc, inc_conv = _incremental_boundary_residual(
+                geom, params, state, cvac, changed, vl, vr
+            )
+
+            def inc_skip(state):
+                return (state.potential_boundary, jnp.asarray(0, jnp.int32),
+                        r_inc, b_inc)
+
+            return jax.lax.cond(same_vd & inc_conv, inc_skip, solve, state)
+
+        phi, iters, r, b = jax.lax.cond(unchanged, pure_skip, on_change, state)
+    else:
+        phi, iters, r, b = jax.lax.cond(unchanged, pure_skip, solve, state)
+
     new_state = state.replace(
-        potential_boundary=phi, cvac_prev=cvac, Vd_prev=Vd
+        potential_boundary=phi, cvac_prev=cvac, Vd_prev=Vd,
+        boundary_r=r, boundary_b=b,
     )
     return new_state, {"cg_iters_boundary": iters}
 

@@ -152,6 +152,11 @@ class PhysParams:
     transport: str = struct.field(pytree_node=False, default="dense")
     transport_precond: str = struct.field(pytree_node=False, default="jacobi")
     boundary_precond: str = struct.field(pytree_node=False, default="jacobi")
+    # incremental-residual fast path for the boundary re-solves (see
+    # SimState.boundary_r); cap = max changed sites tracked per superstep
+    # (overflow falls back to the full solve — exact either way)
+    boundary_incremental: bool = struct.field(pytree_node=False, default=True)
+    boundary_delta_cap: int = struct.field(pytree_node=False, default=256)
     transport_bf16_inner: bool = struct.field(pytree_node=False, default=False)
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
@@ -186,6 +191,15 @@ class SimState:
     # the whole solve (including matrix assembly) is skipped.
     cvac_prev: Any           # [N] bool: neutral-vacancy mask at last solve
     Vd_prev: Any             # scalar: bias at last boundary solve
+
+    # incremental-residual fast path (potential.solve_boundary_potential):
+    # the TRUE residual b - L x and RHS b of the stored potential_boundary,
+    # maintained exactly under sparse conductance changes so churn steps
+    # can certify convergence in O(changed rows) instead of paying a full
+    # f64 assembly + matvec.  Written by every full solve; only consulted
+    # on the single-device/replicated path with boundary_precond="jacobi".
+    boundary_r: Any          # [N] float
+    boundary_b: Any          # [N] float
 
 
 # ----------------------------------------------------------------------------
@@ -451,6 +465,8 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         transport=cfg.transport,
         transport_precond=cfg.transport_precond,
         boundary_precond=getattr(cfg, "boundary_precond", "jacobi"),
+        boundary_incremental=getattr(cfg, "boundary_incremental", True),
+        boundary_delta_cap=getattr(cfg, "boundary_delta_cap", 256),
         transport_bf16_inner=getattr(cfg, "transport_bf16_inner", False),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
@@ -515,6 +531,8 @@ def init_state(
         step_count=jnp.asarray(0, dtype=jnp.int32),
         cvac_prev=jnp.ones(n, dtype=bool),     # impossible -> force 1st solve
         Vd_prev=jnp.asarray(jnp.nan, dtype=dtype),
+        boundary_r=zeros,
+        boundary_b=zeros,
     )
 
 
