@@ -304,6 +304,12 @@ def main():
     ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="compacted-Poisson pair sweep implementation "
                          "(pallas: VMEM-resident Mosaic kernel, TPU only)")
+    ap.add_argument("--band-kernel", default="jnp", choices=["jnp", "pallas"],
+                    help="banded transport matvec implementation (pallas: "
+                         "single-pass VMEM streaming, TPU only)")
+    ap.add_argument("--ell-kernel", default="jnp", choices=["jnp", "pallas"],
+                    help="ELL neighbour gather (rate table + charge rule): "
+                         "pallas = page-shuffle window sweep, TPU only")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (use with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N "
@@ -390,6 +396,21 @@ def main():
 
     if args.poisson_kernel != "jnp":
         params = params.replace(poisson_kernel=args.poisson_kernel)
+    if args.band_kernel != "jnp":
+        params = params.replace(transport_band_kernel=args.band_kernel)
+    if args.ell_kernel == "pallas":
+        from devicekmc_tpu.ops.ell_gather_pallas import build_ell_gather_plan
+
+        plan = build_ell_gather_plan(np.asarray(geom.neigh_idx))
+        if plan is None:
+            print("# ell-kernel pallas: window too wide, keeping jnp",
+                  file=sys.stderr)
+        else:
+            geom = geom.replace(
+                gather_page=plan["page"], gather_lane=plan["lane"],
+                gather_mp2=plan["mp2"], gather_bwpad=plan["bwpad"],
+                gather_wp=plan["wp"], gather_rpb=plan["rows_per_block"],
+            )
     params = params.replace(boundary_precond=args.boundary_precond)
     if args.events_only:
         params = params.replace(solve_potential=False)

@@ -218,6 +218,16 @@ class KMCConfig:
                                            # and the outer tolerance auto-tightens 1e-2 to
                                            # keep the mixed-mode accuracy envelope (see
                                            # update_power_blocked) — opt-in pending a TPU win
+    ell_gather_kernel: str = "jnp"         # ELL neighbour gather (rate table + charge rule):
+                                           # "jnp" (XLA row gather) | "pallas" (page-shuffle
+                                           # window sweep, ops/ell_gather_pallas.py; measured
+                                           # 14.7 -> 4.8 ms / 39.8 -> 3.0 ms at crossbar
+                                           # scale; test-compiled with jnp fallback)
+    transport_band_kernel: str = "jnp"     # banded-matvec implementation: "jnp" (einsum over
+                                           # an HBM window stack) | "pallas" (single-pass
+                                           # VMEM streaming, ops/banded_pallas.py; the driver
+                                           # test-compiles it and falls back to jnp if the
+                                           # TPU Mosaic compiler rejects it)
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -286,7 +296,8 @@ _STR_KEYS = {
     "restart_xyz_file", "atom_xyz_file", "interstitial_xyz_file",
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
     "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
-    "site_order", "poisson_kernel",
+    "site_order", "poisson_kernel", "transport_band_kernel",
+    "ell_gather_kernel",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

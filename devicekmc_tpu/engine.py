@@ -270,6 +270,67 @@ class Simulation:
                 )
                 self.params = self.params.replace(poisson_kernel="jnp")
 
+        if getattr(self.params, "transport_band_kernel", "jnp") == "pallas":
+            # same contract as the Poisson kernel: test-compile a tiny band
+            # and fall back to the jnp einsum if Mosaic rejects it
+            try:
+                from .ops.banded_pallas import banded_matvec_pallas
+                from .ops.pairwise_pallas import on_tpu_default_device
+
+                _y = banded_matvec_pallas(
+                    jnp.zeros((2, 3, 128, 128), jnp.float32),
+                    jnp.zeros((4, 128), jnp.float32),
+                    interpret=not on_tpu_default_device(),
+                )
+                jax.block_until_ready(_y)
+            except Exception as e:
+                import sys
+
+                print(
+                    f"WARNING: pallas banded-matvec kernel unavailable "
+                    f"({type(e).__name__}); falling back to jnp",
+                    file=sys.stderr,
+                )
+                self.params = self.params.replace(transport_band_kernel="jnp")
+
+        if (
+            getattr(self.params, "ell_gather_kernel", "jnp") == "pallas"
+            and mesh is None
+        ):
+            # attach the page/lane gather plan to the geometry: its presence
+            # IS the switch read by charge.update_charge and
+            # events.build_rate_table (single-device only — the halo and
+            # replicated superstep shard geometry arrays by site rows, which
+            # the flat plan layout does not follow)
+            try:
+                from .ops.ell_gather_pallas import (
+                    build_ell_gather_plan, ell_gather_pallas,
+                )
+                from .ops.pairwise_pallas import on_tpu_default_device
+
+                plan = build_ell_gather_plan(np.asarray(self.geom.neigh_idx))
+                if plan is None:
+                    raise ValueError("window too wide for the page sweep")
+                _g = ell_gather_pallas(
+                    plan, [jnp.zeros(self.geom.N, jnp.float32)],
+                    interpret=not on_tpu_default_device(),
+                )
+                jax.block_until_ready(_g)
+                self.geom = self.geom.replace(
+                    gather_page=plan["page"], gather_lane=plan["lane"],
+                    gather_mp2=plan["mp2"], gather_bwpad=plan["bwpad"],
+                    gather_wp=plan["wp"], gather_rpb=plan["rows_per_block"],
+                )
+            except Exception as e:
+                import sys
+
+                print(
+                    f"WARNING: pallas ELL-gather kernel unavailable "
+                    f"({type(e).__name__}: {e}); falling back to jnp",
+                    file=sys.stderr,
+                )
+                self.params = self.params.replace(ell_gather_kernel="jnp")
+
         if self.decomposition == "halo":
             from .parallel.halo_superstep import make_halo_superstep
 

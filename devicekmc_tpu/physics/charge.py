@@ -35,7 +35,19 @@ def update_charge(geom: Geometry, state: SimState) -> Tuple[SimState, Dict]:
         (geom.metal_mask_table[elem].astype(jnp.int32) << 1)
         | (elem == int(Element.VACANCY)).astype(jnp.int32)
     )
-    nb_flags = flags[safe]
+    if getattr(geom, "gather_page", None) is not None:
+        # page-shuffle window gather (ops/ell_gather_pallas.py): measured
+        # 39.8 -> 3.0 ms at crossbar scale.  flags in {0..3} are exact in
+        # f32, so a value round-trip through the f32 kernel is lossless.
+        from ..ops.ell_gather_pallas import ell_gather_pallas, plan_from_geom
+        from ..ops.pairwise_pallas import on_tpu_default_device
+
+        nb_flags = ell_gather_pallas(
+            plan_from_geom(geom), [flags.astype(jnp.float32)],
+            interpret=not on_tpu_default_device(),
+        )[0].astype(jnp.int32)
+    else:
+        nb_flags = flags[safe]
     nb_is_vac = ((nb_flags & 1) > 0) & valid
     nb_is_metal = ((nb_flags & 2) > 0) & valid
 

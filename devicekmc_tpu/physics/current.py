@@ -550,18 +550,20 @@ def assemble_X_blocks(
     return out
 
 
-def _apply_X_blocks(blk, x, wd):
+def _apply_X_blocks(blk, x, wd, band_kernel: str = "jnp"):
     """y = X @ x for the blocked operator; x is the full [Na+2] vector.
 
     ``wd`` is the working dtype of the gather/reduction path; the tunnel
-    blocks multiply in their storage dtype with ``wd`` accumulation."""
+    blocks multiply in their storage dtype with ``wd`` accumulation.
+    ``band_kernel`` selects the banded-matvec implementation (static
+    choice from params.transport_band_kernel)."""
     x = x.astype(wd)
     x0, x1, xa = x[0], x[1], x[2:]
     if blk.get("band") is not None and wd == jnp.float32:
         # gather-free static banded matvec + the tiny dynamic
         # vacancy-pair correction (f32 inner iterations only; the f64
         # refinement matvec keeps the exact ELL path)
-        ya = _banded_nb_matvec(blk["band"], xa)
+        ya = _banded_nb_matvec(blk["band"], xa, kernel=band_kernel)
         yv = jnp.sum(
             blk["band_dyn_vals"] * xa[blk["band_vnb_safe"]], axis=1
         )
@@ -653,7 +655,7 @@ def _apply_X_blocks_mat(blk, X, wd):
 
 def build_banded_nb(
     geom: Geometry, params: PhysParams, state: SimState,
-    block: int = 256, max_bytes: int = 3 << 30,
+    block: int = 128, max_bytes: int = 3 << 30,
 ):
     """Static banded-dense neighbour-conductance operator (built ONCE per
     simulation; the gather-free inner-CG matvec).
@@ -668,12 +670,16 @@ def build_banded_nb(
     src/current_solver.cpp:86-99) lives entirely on the <=tunnel_vac_cap
     vacancy bucket.  The static part is laid out banded-dense over
     x-sorted atoms (crossbar bandwidth 3,313 vs 7,572 in file order):
-    ``C[r, b, w]`` holds the coupling of permuted atom r*B+b to permuted
-    atom (r-p)*B+w, so the matvec is a sliding-window slice + one batched
-    MXU matmul — replacing the [Na x max_nn] dynamic gather that
+    ``C4[r, k, b, j]`` holds the coupling of permuted atom r*B+b to
+    permuted atom (r-p+k)*B+j, so the matvec is a sliding-window slice +
+    batched MXU matmuls — replacing the [Na x max_nn] dynamic gather that
     dominated every CG iteration (~34 ms/iter at crossbar scale,
-    PERFORMANCE.md).  The permutation is internal to this operator: atom
-    ordering conventions elsewhere are untouched.
+    PERFORMANCE.md).  The k axis is zero-padded to a multiple of 8 so the
+    pallas kernel (ops/banded_pallas.py) can stream fixed-size k-tiles;
+    ``front`` carries the window's leading zero pad (its SHAPE encodes
+    p*B, the only static the matvec needs that the C4 shape doesn't give).
+    The permutation is internal to this operator: atom ordering
+    conventions elsewhere are untouched.
 
     Returns None when the banded layout exceeds ``max_bytes`` (extreme
     aspect ratios); callers fall back to the ELL gather."""
@@ -692,9 +698,9 @@ def build_banded_nb(
     B = block
     p = -(-bw // B)
     m = 2 * p + 1
-    W = m * B
+    m_pad = m if m < 8 else -(-m // 8) * 8
     R = -(-Na // B)
-    if R * B * W * 4 > max_bytes:
+    if R * B * m_pad * B * 4 > max_bytes:
         return None
     metal = np.asarray(geom.metal_mask_table)[np.asarray(state.element)[ai]]
     high_G = float(params.high_G) * 1e5
@@ -702,42 +708,55 @@ def build_banded_nb(
     vals = np.where(
         metal[rows] & metal[cols], -high_G, -low_G
     ).astype(np.float32)
-    C = np.zeros((R, B, W), dtype=np.float32)
+    C4 = np.zeros((R, m_pad, B, B), dtype=np.float32)
     ri, ci = inv[rows], inv[cols]
-    C[ri // B, ri % B, ci - (ri // B - p) * B] = vals
+    off = ci - (ri // B - p) * B
+    C4[ri // B, off // B, ri % B, off % B] = vals
+    cd = jnp.float32
     if params.mixed and getattr(params, "transport_bf16_inner", False):
         # the band feeds ONLY the f32 inner-CG matvec (the f64 refinement
         # keeps the exact ELL path), so under the bf16-inner contract it can
         # be STORED bf16 outright: halves both HBM residency and the
         # dominant per-iteration stream, same perturbed-inner-operator
         # argument as the tunnel-block twins (assemble_X_blocks).
-        return dict(
-            C=jnp.asarray(C).astype(jnp.bfloat16),
-            pi=jnp.asarray(pi), inv=jnp.asarray(inv),
-        )
-    return dict(C=jnp.asarray(C), pi=jnp.asarray(pi), inv=jnp.asarray(inv))
+        cd = jnp.bfloat16
+    return dict(
+        C=jnp.asarray(C4).astype(cd),
+        front=jnp.zeros(p * B, cd),
+        pi=jnp.asarray(pi), inv=jnp.asarray(inv),
+    )
 
 
-def _banded_nb_matvec(band, xa):
-    """y = C_static @ x via sliding-window slices + one batched matmul.
+def _banded_nb_matvec(band, xa, kernel: str = "jnp"):
+    """y = C_static @ x via sliding-window slices + batched MXU matmuls.
     No gathers except the two [Na] permutation reads.  C may be stored
-    bf16 (transport_bf16_inner); the MXU accumulates in f32 either way."""
+    bf16 (transport_bf16_inner); the MXU accumulates in f32 either way.
+    ``kernel="pallas"`` streams C through VMEM exactly once
+    (ops/banded_pallas.py) instead of materialising the [R, m_pad, B]
+    window stack in HBM each call."""
     C = band["C"]
-    R, B, W = C.shape
-    m = W // B
-    p = (m - 1) // 2
+    R, m_pad, B, _ = C.shape
     Na = band["pi"].shape[0]
     cd = C.dtype
     xperm = xa[band["pi"]].astype(cd)
+    front = band["front"]                  # p*B leading zeros (static shape)
     xp = jnp.concatenate([
-        jnp.zeros(p * B, cd), xperm,
-        jnp.zeros((R + m - 1) * B - p * B - Na, cd),
+        front, xperm,
+        jnp.zeros((R + m_pad - 1) * B - front.shape[0] - Na, cd),
     ])
-    x2 = xp.reshape(R + m - 1, B)
-    xwin = jnp.concatenate([x2[k:k + R] for k in range(m)], axis=1)
-    y = jnp.einsum(
-        "rbw,rw->rb", C, xwin, preferred_element_type=jnp.float32
-    )
+    x2 = xp.reshape(R + m_pad - 1, B)
+    if kernel == "pallas":
+        from ..ops.banded_pallas import banded_matvec_pallas
+        from ..ops.pairwise_pallas import on_tpu_default_device
+
+        y = banded_matvec_pallas(
+            C, x2, interpret=not on_tpu_default_device()
+        )
+    else:
+        xst = jnp.stack([x2[k:k + R] for k in range(m_pad)], axis=1)
+        y = jnp.einsum(
+            "rkbj,rkj->rb", C, xst, preferred_element_type=jnp.float32
+        )
     return y.astype(jnp.float32).reshape(R * B)[:Na][band["inv"]]
 
 
@@ -874,9 +893,11 @@ def update_power_blocked(
     rhs = rhs.at[0].set(-loop_G * Vd)
     rhs = rhs.at[1].set(loop_G * Vd)
 
+    band_kernel = getattr(params, "transport_band_kernel", "jnp")
+
     def apply_sub(x_sub, wd):
         x_full = jnp.concatenate([x_sub, jnp.zeros(1, dtype=x_sub.dtype)])
-        return _apply_X_blocks(blk, x_full, wd)[:Nsub]
+        return _apply_X_blocks(blk, x_full, wd, band_kernel)[:Nsub]
 
     d = diag[:Nsub]
 

@@ -196,7 +196,27 @@ def build_rate_table(
         row_layer = geom.site_layer
 
     safe = jnp.maximum(neigh_idx, 0)
-    if dtype == jnp.float32:
+    if (
+        dtype == jnp.float32
+        and getattr(geom, "gather_page", None) is not None
+    ):
+        # page-shuffle window gather (ops/ell_gather_pallas.py): measured
+        # 14.7 -> 4.8 ms at crossbar scale.  Packed codes are < 2^16, so a
+        # value round-trip through the f32 kernel is lossless; the kernel
+        # gathers the full-N table (its plan is static geometry), then the
+        # active-row subset is one contiguous-row gather.
+        from ..ops.ell_gather_pallas import ell_gather_pallas, plan_from_geom
+        from ..ops.pairwise_pallas import on_tpu_default_device
+
+        phi_j, code_f = ell_gather_pallas(
+            plan_from_geom(geom), [phi, code.astype(jnp.float32)],
+            interpret=not on_tpu_default_device(),
+        )
+        code_j = code_f.astype(jnp.int32)
+        if active_idx is not None:
+            phi_j = phi_j[active_idx]
+            code_j = code_j[active_idx]
+    elif dtype == jnp.float32:
         # Bit-or 0x40000000 so the bitcast lane is a NORMAL float (~2.0):
         # raw small ints are denormal bit patterns and TPU flushes denormals
         # to zero even through data movement.

@@ -96,12 +96,23 @@ class Geometry:
     inner_mask: Any      # [N] bool: sites [num_atoms_contact, N_real-nac)
     real_mask: Any       # [N] bool: non-padding sites
 
+    # page/lane decomposition of neigh_idx for the Pallas ELL gather kernel
+    # (ops/ell_gather_pallas.py) — attached by the engine on the
+    # single-device path when ell_gather_kernel="pallas"; None otherwise
+    gather_page: Any = None   # [n_rows, 128] int32
+    gather_lane: Any = None   # [n_rows, 128] int32
+
     # static metadata
     N: int = struct.field(pytree_node=False, default=0)        # padded
     N_real: int = struct.field(pytree_node=False, default=0)
     max_nn: int = struct.field(pytree_node=False, default=0)
     N_atom: int = struct.field(pytree_node=False, default=0)
     pbc: bool = struct.field(pytree_node=False, default=False)
+    # ELL-gather plan statics (0 when no plan attached)
+    gather_mp2: int = struct.field(pytree_node=False, default=0)
+    gather_bwpad: int = struct.field(pytree_node=False, default=0)
+    gather_wp: int = struct.field(pytree_node=False, default=0)
+    gather_rpb: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -158,6 +169,8 @@ class PhysParams:
     boundary_incremental: bool = struct.field(pytree_node=False, default=True)
     boundary_delta_cap: int = struct.field(pytree_node=False, default=256)
     transport_bf16_inner: bool = struct.field(pytree_node=False, default=False)
+    transport_band_kernel: str = struct.field(pytree_node=False, default="jnp")
+    ell_gather_kernel: str = struct.field(pytree_node=False, default="jnp")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
@@ -468,6 +481,8 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         boundary_incremental=getattr(cfg, "boundary_incremental", True),
         boundary_delta_cap=getattr(cfg, "boundary_delta_cap", 256),
         transport_bf16_inner=getattr(cfg, "transport_bf16_inner", False),
+        transport_band_kernel=getattr(cfg, "transport_band_kernel", "jnp"),
+        ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
         mixed=(cfg.precision == "mixed"),
