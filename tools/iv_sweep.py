@@ -146,9 +146,21 @@ def _sample_at(bp, key, frac):
     return float(v[idx])
 
 
+def _quant6(x):
+    """Quantize to 6 significant digits — the reference binary's cout
+    precision.  Differences below its print quantum (e.g. any T in
+    [300, 300.0005) prints as "300") are unobservable in its output and
+    must not feed the z-test."""
+    x = np.asarray(x, float)
+    with np.errstate(divide="ignore"):
+        q = np.where(x == 0, 1.0,
+                     10.0 ** (np.floor(np.log10(np.abs(x))) - 5))
+    return np.round(x / q) * q
+
+
 def _z(a, b, int_tol=0.0):
-    a = np.asarray(a, float)
-    b = np.asarray(b, float)
+    a = _quant6(np.asarray(a, float))
+    b = _quant6(np.asarray(b, float))
     se = np.sqrt(np.var(a, ddof=1) / len(a) + np.var(b, ddof=1) / len(b))
     dm = abs(a.mean() - b.mean())
     if se == 0:
