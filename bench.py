@@ -193,12 +193,21 @@ def build_synthetic_sim(n_sites: int, precision: str):
 
 def build_synthetic_crossbar_sim(
     n_sites: int, precision: str, pad_to: int = 1, site_order: str = "file",
+    full: bool = False, vd: float = 1.0, precond: str = "deflated",
 ):
     """Synthetic crossbar (structure.make_crossbar_structure) scaled to
     ~n_sites, same modules as the headline bench (charge + potentials +
     events).  Matches the reference crossbar's composition and neighbour
     statistics (~110.8k sites, max_nn ~52-55, mean_nn ~27) so the
-    200k-750k scaling study does not depend on reference xyz files."""
+    200k-750k scaling study does not depend on reference xyz files.
+
+    ``full=True`` additionally enables blocked transport + global heating
+    (the build_full_crossbar_sim module set) — the ≥500k full-physics
+    scaling demonstrations.  At 500k the metal_p x metal_p tunnel block
+    alone is ~50 GB f32 (vs 16 GB HBM on a v5e), so full-physics 500k runs
+    require the halo decomposition (--mesh N --decomposition halo), whose
+    transport shards that block by rows — the memory-scaling story the
+    decomposition exists for."""
     from devicekmc_tpu.config import KMCConfig
     from devicekmc_tpu.physics import heat as heat_mod
     from devicekmc_tpu.state import (
@@ -212,7 +221,23 @@ def build_synthetic_crossbar_sim(
     ny = nz = max(8, int(round((n_sites / col) ** 0.5)))
     s = make_crossbar_structure(nx_contact=nxc, nx_oxide=nxo, ny=ny, nz=nz,
                                 seed=1)
-    cfg = KMCConfig(
+    elems = make_substoichiometric(s.elements, 0.02, seed=5)
+    extra = {}
+    if full:
+        from devicekmc_tpu.structure import Element
+
+        n_vac = int((elems == int(Element.VACANCY)).sum())
+        extra = dict(
+            solve_current=True, solve_heating_global=True,
+            transport="blocked", transport_precond=precond,
+            coarse_slabs=24,
+            # vacancy bucket sized from the actual substoichiometric count
+            # (grow-and-redo still covers forming growth)
+            tunnel_vac_cap=-(-max(n_vac * 2, 256) // 256) * 256,
+            tunnel_int_steps=max(256, int(100 * (abs(vd) + 1.5))),
+            A=float(s.lattice[1]) * 1e-10 * float(s.lattice[2]) * 1e-10,
+        )
+    base = dict(
         lattice=list(s.lattice), nn_dist=3.5, pbc=False,
         site_order=site_order,
         num_atoms_first_layer=s.num_atoms_first_layer,
@@ -223,7 +248,8 @@ def build_synthetic_crossbar_sim(
         perturb_structure=True, precision=precision,
         poisson_compact_cap=8192, solver_tol=1e-8,
     )
-    elems = make_substoichiometric(s.elements, 0.02, seed=5)
+    base.update(extra)
+    cfg = KMCConfig(**base)
     os.makedirs(CACHE_DIR, exist_ok=True)
     cache = os.path.join(CACHE_DIR, f"nb_syncb_{len(elems)}.npz")
     if os.path.exists(cache):
@@ -257,7 +283,10 @@ def main():
                          "~N sites (scaling studies without reference xyz)")
     ap.add_argument("--full", action="store_true",
                     help="full coupled pipeline (incl. transport+heat) on the "
-                         "9030-site reference device instead of the crossbar")
+                         "9030-site reference device; combined with "
+                         "--synthetic-crossbar N it enables blocked "
+                         "transport + global heat on the synthetic "
+                         "structure (the >=500k full-physics scaling runs)")
     ap.add_argument("--full-crossbar", action="store_true",
                     help="full coupled pipeline on the 75,360-atom crossbar "
                          "via the blocked matrix-free transport operator")
@@ -307,9 +336,16 @@ def main():
     ap.add_argument("--band-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="banded transport matvec implementation (pallas: "
                          "single-pass VMEM streaming, TPU only)")
-    ap.add_argument("--ell-kernel", default="jnp", choices=["jnp", "pallas"],
+    ap.add_argument("--ell-kernel", default="auto",
+                    choices=["auto", "jnp", "pallas"],
                     help="ELL neighbour gather (rate table + charge rule): "
-                         "pallas = page-shuffle window sweep, TPU only")
+                         "pallas = page-shuffle window sweep (doubles the "
+                         "deep-forming headline, 12.3 -> 24.3 steps/s); "
+                         "auto = pallas on a real TPU, jnp elsewhere")
+    ap.add_argument("--site-order", default="file", choices=["file", "x"],
+                    help="internal site ordering (x = bandwidth-reducing "
+                         "permutation, I/O stays file-ordered; implied by "
+                         "--decomposition halo and --ell-kernel pallas)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (use with "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N "
@@ -357,19 +393,37 @@ def main():
     from devicekmc_tpu.superstep import superstep_impl
 
     pad_to = 1
+    full_transport_scale = args.full_crossbar or (
+        args.full and args.synthetic_crossbar
+    )
+    if args.ell_kernel == "auto":
+        from devicekmc_tpu.ops.pairwise_pallas import on_tpu_default_device
+
+        args.ell_kernel = (
+            "pallas" if (on_tpu_default_device() and not args.mesh)
+            else "jnp"
+        )
     if args.mesh:
-        if args.full or args.batch > 1:
+        if (args.full and not args.synthetic_crossbar) or args.batch > 1:
             ap.error("--mesh covers the headline modules (no --full/--batch)")
-        if args.full_crossbar and args.decomposition != "halo":
-            ap.error("--mesh --full-crossbar requires --decomposition halo "
-                     "(the replicated mesh path has no sharded transport)")
+        if full_transport_scale and args.decomposition != "halo":
+            ap.error("--mesh with full transport requires --decomposition "
+                     "halo (the replicated mesh path has no sharded "
+                     "transport)")
         if args.decomposition == "halo":
             from devicekmc_tpu.physics.events import _BLOCK
 
             pad_to = args.mesh * _BLOCK
         else:
             pad_to = args.mesh
-    site_order = "x" if (args.mesh and args.decomposition == "halo") else "file"
+    site_order = args.site_order
+    if args.mesh and args.decomposition == "halo":
+        site_order = "x"           # halo slabs are x-contiguous by design
+    elif args.ell_kernel == "pallas" and site_order == "file":
+        # the page-shuffle gather needs the bandwidth-reducing internal
+        # x-sort (file-order crossbar bandwidth ~89k sites: window too wide)
+        site_order = "x"
+        print("# ell-kernel pallas: forcing site_order=x", file=sys.stderr)
 
     if args.full_crossbar:
         vd0 = args.vd if args.vd is not None else 1.0
@@ -378,13 +432,15 @@ def main():
             bf16_inner=args.bf16_inner,
             pad_to=pad_to, site_order=site_order,
         )
-    elif args.full:
-        geom, params, heat, state = build_full_physics_sim(args.precision)
     elif args.synthetic_crossbar:
         geom, params, heat, state = build_synthetic_crossbar_sim(
             args.synthetic_crossbar, args.precision,
             pad_to=pad_to, site_order=site_order,
+            full=args.full, vd=args.vd if args.vd is not None else 1.0,
+            precond=args.precond,
         )
+    elif args.full:
+        geom, params, heat, state = build_full_physics_sim(args.precision)
     elif args.synthetic or not os.path.exists(CROSSBAR_XYZ):
         geom, params, _, heat, state = build_synthetic_sim(
             args.synthetic or 100_000, args.precision
@@ -398,6 +454,9 @@ def main():
         params = params.replace(poisson_kernel=args.poisson_kernel)
     if args.band_kernel != "jnp":
         params = params.replace(transport_band_kernel=args.band_kernel)
+    if args.ell_kernel == "pallas" and args.mesh:
+        ap.error("--ell-kernel pallas is single-device only (the flat "
+                 "page/lane plan does not follow the mesh row sharding)")
     if args.ell_kernel == "pallas":
         from devicekmc_tpu.ops.ell_gather_pallas import build_ell_gather_plan
 
@@ -441,7 +500,7 @@ def main():
                   f"halo width {halo}", file=sys.stderr)
             geom, state = shard_halo_simulation(geom, state, mesh)
             halo_transport_tables = None
-            if args.full_crossbar:
+            if full_transport_scale:
                 from devicekmc_tpu.parallel.halo_transport import (
                     build_transport_static,
                 )
@@ -626,7 +685,9 @@ def main():
     print(f"# median dispatch {median:.4f}s ({args.batch} supersteps), mean {np.mean(times):.4f}s, "
           f"{total_events} events in {args.steps} steps", file=sys.stderr)
     metric_name = "kmc_supersteps_per_s"
-    if args.full:
+    if args.full and args.synthetic_crossbar:
+        metric_name = "full_synthetic_crossbar_supersteps_per_s"
+    elif args.full:
         metric_name = "full_pipeline_supersteps_per_s"
     elif args.full_crossbar:
         metric_name = "full_crossbar_supersteps_per_s"
