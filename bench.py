@@ -333,6 +333,13 @@ def main():
     ap.add_argument("--poisson-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="compacted-Poisson pair sweep implementation "
                          "(pallas: VMEM-resident Mosaic kernel, TPU only)")
+    ap.add_argument("--cc-kernel", default="auto",
+                    choices=["auto", "stored", "fly"],
+                    help="metal_p tunnel block: stored (materialised f32, "
+                         "per-bias cache) | fly (re-derived in a Pallas "
+                         "kernel every matvec — zero HBM residency, the "
+                         "only single-chip option beyond ~30k metal atoms) "
+                         "| auto (stored under ~3 GB, fly beyond)")
     ap.add_argument("--band-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="banded transport matvec implementation (pallas: "
                          "single-pass VMEM streaming, TPU only)")
@@ -452,6 +459,15 @@ def main():
 
     if args.poisson_kernel != "jnp":
         params = params.replace(poisson_kernel=args.poisson_kernel)
+    if params.solve_current and params.transport == "blocked":
+        from devicekmc_tpu.physics.current import resolve_transport_cc
+
+        n_mp = int(geom.atom_metalp_idx.shape[0])
+        cc_mode = resolve_transport_cc(
+            args.cc_kernel, n_mp, args.precision in ("mixed", "f32")
+        )
+        params = params.replace(transport_cc=cc_mode)
+        print(f"# transport_cc: {cc_mode} (n_mp={n_mp})", file=sys.stderr)
     if args.band_kernel != "jnp":
         params = params.replace(transport_band_kernel=args.band_kernel)
     if args.ell_kernel == "pallas" and args.mesh:

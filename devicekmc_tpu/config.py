@@ -228,6 +228,13 @@ class KMCConfig:
                                            # VMEM streaming, ops/banded_pallas.py; the driver
                                            # test-compiles it and falls back to jnp if the
                                            # TPU Mosaic compiler rejects it)
+    transport_cc: str = "auto"             # metal_p x metal_p tunnel block: "stored"
+                                           # (materialised f32, per-bias cache — fastest
+                                           # while it fits), "fly" (re-derived inside a
+                                           # Pallas kernel every matvec, zero HBM residency
+                                           # — the only single-chip option beyond ~30k
+                                           # metal atoms), "auto" (stored under ~3 GB,
+                                           # fly beyond; current.resolve_transport_cc)
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -297,7 +304,7 @@ _STR_KEYS = {
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
     "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
     "site_order", "poisson_kernel", "transport_band_kernel",
-    "ell_gather_kernel",
+    "ell_gather_kernel", "transport_cc",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

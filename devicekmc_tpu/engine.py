@@ -244,6 +244,41 @@ class Simulation:
             self.params = self.params.replace(
                 tunnel_vac_cap=self._auto_poisson_cap()
             )
+        if (
+            cfg.solve_current and self.params.transport == "blocked"
+            and getattr(self.params, "transport_cc", "stored") != "stored"
+        ):
+            # resolve "auto" (stored while the metal block fits, on-the-fly
+            # Pallas kernel beyond — current.resolve_transport_cc) and
+            # test-compile the fly kernel with the usual fallback contract
+            mode = current_mod.resolve_transport_cc(
+                self.params.transport_cc,
+                int(self.geom.atom_metalp_idx.shape[0]),
+                self.params.mixed or self.params.dtype == jnp.float32,
+            )
+            if mode == "fly":
+                try:
+                    from .ops.pairwise_pallas import on_tpu_default_device
+                    from .ops.wkb_pallas import wkb_fly_matvec
+
+                    _env = current_mod.wkb_env(self.geom, self.params)
+                    _y = wkb_fly_matvec(
+                        jnp.arange(24, dtype=jnp.float32).reshape(8, 3),
+                        jnp.zeros(8, jnp.float32), jnp.ones(8, jnp.float32),
+                        _env, interpret=not on_tpu_default_device(),
+                    )
+                    jax.block_until_ready(_y)
+                except Exception as e:
+                    import sys
+
+                    print(
+                        f"WARNING: pallas on-the-fly WKB kernel unavailable "
+                        f"({type(e).__name__}); falling back to the stored "
+                        f"metal block (may not fit at this scale)",
+                        file=sys.stderr,
+                    )
+                    mode = "stored"
+            self.params = self.params.replace(transport_cc=mode)
         if self.params.poisson_kernel == "pallas":
             # the remote Mosaic compiler is not always available: test-compile
             # the kernel on a tiny problem and fall back to the jnp sweep

@@ -76,6 +76,25 @@ MAX_TUNNEL_STEPS = 1024
 #: bigger than this are built with lax.map over row chunks
 TUNNEL_CHUNK_ELEMS = 1 << 25
 
+#: transport_cc="auto": largest stored metal_p tunnel block [bytes f32].
+#: Below this the stored block's streamed MXU matvec is faster than the
+#: on-the-fly kernel (~3-6 ms vs 11 ms at the 24,768-metal crossbar);
+#: above it the block cannot be materialised and the fly kernel is the
+#: only single-chip option (50 GB at ~112k metal atoms / 500k sites).
+CC_STORED_MAX_BYTES = 3 << 30
+
+
+def resolve_transport_cc(mode: str, n_mp: int, f32_entries: bool) -> str:
+    """Resolve transport_cc='auto' to 'stored' or 'fly' (see
+    CC_STORED_MAX_BYTES).  ``f32_entries``: pairwise dtype is f32 (mixed or
+    f32 precision) — the fly kernel is an f32 VPU pipeline, so pure-f64
+    runs always store."""
+    if mode != "auto":
+        return mode
+    if not f32_entries:
+        return "stored"
+    return "stored" if n_mp * n_mp * 4 <= CC_STORED_MAX_BYTES else "fly"
+
 
 def _pairwise_dist_atoms(coords, lattice, pbc: bool):
     d = coords[:, None, :] - coords[None, :, :]
@@ -368,7 +387,10 @@ def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
     Within a bias point the CB edges — and therefore this (largest) block —
     are constant: the driver assembles it once per bias point and passes it
     to the superstep as ``cc``, instead of recomputing ~n_mp^2 WKB
-    exponentials every superstep."""
+    exponentials every superstep.  Under ``transport_cc='fly'`` there is
+    nothing to cache (entries are re-derived in-kernel) — returns None."""
+    if getattr(params, "transport_cc", "stored") == "fly":
+        return None
     blk = assemble_X_blocks(geom, params, state, _cc_only=True)
     return blk["T_cc"]
 
@@ -467,8 +489,16 @@ def assemble_X_blocks(
 
     env = wkb_env(geom, params)
 
+    cc_fly = getattr(params, "transport_cc", "stored") == "fly"
+    if cc_fly and cdtype != jnp.float32:
+        raise ValueError(
+            "transport_cc='fly' computes f32 entries (the Pallas kernel is "
+            "an f32 VPU pipeline); it requires precision 'mixed' or 'f32'"
+        )
     ones_m = jnp.ones(mp.shape[0], dtype=bool)
-    if cc is not None:
+    if cc_fly:
+        T_cc = None
+    elif cc is not None:
         T_cc = cc.astype(cdtype)
     else:
         T_cc = tunnel_block(env, mpos, mcb, ones_m, mpos, mcb, ones_m,
@@ -499,7 +529,16 @@ def assemble_X_blocks(
     row_atoms = row_atoms + gnd_vals + src_vals
     # row sums in storage dtype, cast after (a dtype= accumulator would
     # materialise an f64-converted copy of the multi-GB cc block)
-    cc_row = jnp.sum(T_cc, axis=1).astype(dtype)
+    if cc_fly:
+        from ..ops.pairwise_pallas import on_tpu_default_device
+        from ..ops.wkb_pallas import wkb_fly_matvec
+
+        cc_row = wkb_fly_matvec(
+            mpos, mcb, jnp.ones(mp.shape[0], jnp.float32), env,
+            interpret=not on_tpu_default_device(),
+        ).astype(dtype)
+    else:
+        cc_row = jnp.sum(T_cc, axis=1).astype(dtype)
     mv_row = jnp.sum(T_vm, axis=0).astype(dtype)     # metal rows, vac cols
     vv_row = jnp.sum(T_vv, axis=1).astype(dtype)
     vm_row = jnp.sum(T_vm, axis=1).astype(dtype)
@@ -519,6 +558,9 @@ def assemble_X_blocks(
         loop_G=loop_G, diag=diag,
         int_steps_needed=int_steps_needed,
     )
+    if cc_fly:
+        # everything the on-the-fly kernels need to re-derive cc entries
+        out["fly"] = dict(mpos=mpos, mcb=mcb, env=env)
     if band is not None:
         # dynamic complement of the static banded operator: the
         # (high_G - low_G) bump on uncharged-vacancy pairs, supported
@@ -544,7 +586,10 @@ def assemble_X_blocks(
         # keeps the f32-entried operator, so the converged answer is
         # unchanged — a bf16-perturbed inner operator only caps the
         # per-round contraction (~4e-3) and costs extra outer rounds.
-        out["T_cc16"] = T_cc.astype(jnp.bfloat16)
+        # (Under transport_cc='fly' the cc block has no stored form to
+        # twin — the vacancy blocks still get theirs.)
+        if not cc_fly:
+            out["T_cc16"] = T_cc.astype(jnp.bfloat16)
         out["T_vv16"] = T_vv.astype(jnp.bfloat16)
         out["T_vm16"] = T_vm.astype(jnp.bfloat16)
     return out
@@ -584,11 +629,21 @@ def _apply_X_blocks(blk, x, wd, band_kernel: str = "jnp"):
         cd = jnp.bfloat16
     else:
         T_cc, T_vv, T_vm = blk["T_cc"], blk["T_vv"], blk["T_vm"]
-        cd = T_cc.dtype
+        cd = T_vv.dtype
     pt = jnp.float32 if cd == jnp.bfloat16 else None
     xm = xa[blk["mp"]].astype(cd)
     xv = jnp.where(blk["v_ok"], xa[blk["vidx"]], 0.0).astype(cd)
-    y_cc = jnp.matmul(T_cc, xm, preferred_element_type=pt).astype(wd)
+    if blk.get("fly") is not None:
+        from ..ops.pairwise_pallas import on_tpu_default_device
+        from ..ops.wkb_pallas import wkb_fly_matvec
+
+        f = blk["fly"]
+        y_cc = wkb_fly_matvec(
+            f["mpos"], f["mcb"], xm.astype(jnp.float32), f["env"],
+            interpret=not on_tpu_default_device(),
+        ).astype(wd)
+    else:
+        y_cc = jnp.matmul(T_cc, xm, preferred_element_type=pt).astype(wd)
     y_mv = jnp.matmul(xv, T_vm, preferred_element_type=pt).astype(wd)
     y_vv = jnp.matmul(T_vv, xv, preferred_element_type=pt).astype(wd)
     y_vm = jnp.matmul(T_vm, xm, preferred_element_type=pt).astype(wd)
@@ -626,10 +681,20 @@ def _apply_X_blocks_mat(blk, X, wd):
     for s in range(nb_vals.shape[1]):
         Ya = Ya + nb_vals[:, s:s + 1] * Xa[blk["nb_safe"][:, s]]
 
-    cd = blk["T_cc"].dtype
+    cd = blk["T_vv"].dtype
     Xm = Xa[blk["mp"]].astype(cd)
     Xv = jnp.where(blk["v_ok"][:, None], Xa[blk["vidx"]], 0.0).astype(cd)
-    Y_cc = jnp.matmul(blk["T_cc"], Xm).astype(wd)
+    if blk.get("fly") is not None:
+        from ..ops.pairwise_pallas import on_tpu_default_device
+        from ..ops.wkb_pallas import wkb_fly_matmat
+
+        f = blk["fly"]
+        Y_cc = wkb_fly_matmat(
+            f["mpos"], f["mcb"], Xm.astype(jnp.float32), f["env"],
+            interpret=not on_tpu_default_device(),
+        ).astype(wd)
+    else:
+        Y_cc = jnp.matmul(blk["T_cc"], Xm).astype(wd)
     Y_mv = jnp.matmul(blk["T_vm"].T, Xv).astype(wd)
     Y_vv = jnp.matmul(blk["T_vv"], Xv).astype(wd)
     Y_vm = jnp.matmul(blk["T_vm"], Xm).astype(wd)
@@ -1000,7 +1065,17 @@ def update_power_blocked(
 
         ms_m = Ms[blk["mp"]]
         ms_v = jnp.where(blk["v_ok"], Ms[blk["vidx"]], 0.0)
-        cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
+        if blk.get("fly") is not None:
+            from ..ops.pairwise_pallas import on_tpu_default_device
+            from ..ops.wkb_pallas import wkb_fly_pdisp
+
+            f = blk["fly"]
+            cc_r = wkb_fly_pdisp(
+                f["mpos"], f["mcb"], ms_m.astype(jnp.float32), Vd, f["env"],
+                interpret=not on_tpu_default_device(),
+            ).astype(Ms.dtype)
+        else:
+            cc_r, _ = _pdisp_rows_cols(blk["T_cc"], ms_m, ms_m, Vd)
         vv_r, _ = _pdisp_rows_cols(blk["T_vv"], ms_v, ms_v, Vd)
         vm_r, vm_c = _pdisp_rows_cols(blk["T_vm"], ms_v, ms_m, Vd)
         inv = blk["mp_inv"]

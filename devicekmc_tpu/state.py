@@ -170,6 +170,12 @@ class PhysParams:
     boundary_delta_cap: int = struct.field(pytree_node=False, default=256)
     transport_bf16_inner: bool = struct.field(pytree_node=False, default=False)
     transport_band_kernel: str = struct.field(pytree_node=False, default="jnp")
+    # metal_p x metal_p tunnel block: "stored" materialises it (f32,
+    # O(n_mp^2) HBM — 2.45 GB at the reference crossbar, cached per bias
+    # point), "fly" re-derives entries inside a Pallas kernel every matvec
+    # (ops/wkb_pallas.py: zero HBM residency, the only option beyond ~30k
+    # metal atoms where the stored block cannot fit single-chip)
+    transport_cc: str = struct.field(pytree_node=False, default="stored")
     ell_gather_kernel: str = struct.field(pytree_node=False, default="jnp")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
@@ -432,6 +438,11 @@ def build_params(cfg: KMCConfig) -> PhysParams:
             f"unknown boundary_precond={cfg.boundary_precond!r}; "
             "expected 'jacobi' or 'deflated'"
         )
+    if getattr(cfg, "transport_cc", "auto") not in ("auto", "stored", "fly"):
+        raise ValueError(
+            f"unknown transport_cc={cfg.transport_cc!r}; "
+            "expected 'auto', 'stored' or 'fly'"
+        )
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     s = lambda x: jnp.asarray(x, dtype=dtype)
     return PhysParams(
@@ -482,6 +493,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         boundary_delta_cap=getattr(cfg, "boundary_delta_cap", 256),
         transport_bf16_inner=getattr(cfg, "transport_bf16_inner", False),
         transport_band_kernel=getattr(cfg, "transport_band_kernel", "jnp"),
+        transport_cc=getattr(cfg, "transport_cc", "stored"),
         ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
