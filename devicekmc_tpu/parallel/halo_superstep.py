@@ -599,17 +599,6 @@ def make_halo_superstep(
                 "halo transport needs the static tables from "
                 "halo_transport.build_transport_static"
             )
-        if params.transport_precond == "deflated":
-            # the scaled-metric A-DEF2 machinery is not yet built for the
-            # sharded operator; fall back to Jacobi(+mixed refinement),
-            # which is exact (only the iteration count differs)
-            import sys
-
-            print(
-                "WARNING: transport_precond='deflated' is not available on "
-                "the halo path; using 'jacobi'", file=sys.stderr,
-            )
-            params = params.replace(transport_precond="jacobi")
     if params.solve_heating_local and (heat is None or heat.method != "cg"):
         raise ValueError(
             "halo local heating requires the matrix-free model: set "

@@ -46,9 +46,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.cg import cg_solve, cg_solve_mixed
+from ..ops.cg import cg_solve, cg_solve_mixed, invert_coarse
 from ..ops.compact import nonzero_fixed
 from ..physics.current import (
+    DEFLATION_GATE_REL,
     G0,
     _dist_blocks,
     _pdisp_rows_cols,
@@ -332,8 +333,50 @@ def assemble_halo_operator(
         )
         return jnp.where(mask, y, 0.0)
 
+    def apply_full_mat(X, wd):
+        """Y = A @ X for K replicated columns (the deflation-basis build;
+        the distributed twin of current._apply_X_blocks_mat).  Tunnel
+        blocks are read once for all columns; the ELL part runs as max_nn
+        row-gathers of [Sa, K] panels."""
+        K = X.shape[1]
+        X = jnp.where(mask[:, None], X, 0.0).astype(wd)
+        x0, x1, Xa = X[0], X[1], X[2:]
+        Ya_loc = jnp.zeros((Sa, K), dtype=wd)
+        for s_i in range(safe.shape[1]):
+            Ya_loc = Ya_loc + (
+                nb_vals[:, s_i:s_i + 1].astype(wd) * Xa[safe[:, s_i]]
+            )
+        Ya = jax.lax.all_gather(Ya_loc, axis, tiled=True)
+
+        Xm = Xa[mp_list].astype(cdtype)
+        Xv = jnp.where(vok_p[:, None], Xa[vidx_p], 0.0).astype(cdtype)
+        Xv_my = _row_slice(Xv, r0v, Svc)
+        Y_cc = jax.lax.all_gather(T_cc_loc @ Xm, axis, tiled=True)
+        Y_mv = jax.lax.psum((Xv_my.T @ T_vm_loc).T, axis)
+        Y_v = jax.lax.all_gather(
+            T_vv_loc @ Xv + T_vm_loc @ Xm, axis, tiled=True
+        )
+        Y_mp_pad = jnp.concatenate(
+            [(Y_cc + Y_mv).astype(wd), jnp.zeros((1, K), dtype=wd)]
+        )
+        Ya = Ya + Y_mp_pad[jnp.where(mp_inv >= 0, mp_inv, n_mp_pad)]
+        Ya = Ya.at[vidx_p].add(
+            jnp.where(vok_p[:, None], Y_v.astype(wd), 0.0)
+        )
+        src = src_vals.astype(wd)
+        gnd = gnd_vals.astype(wd)
+        lg = loop_G.astype(wd)
+        Ya = Ya + gnd[:, None] * x0[None, :] + src[:, None] * x1[None, :]
+        y0 = gnd @ Xa - lg * x1
+        y1 = src @ Xa - lg * x0
+        Y = (
+            jnp.concatenate([jnp.stack([y0, y1]), Ya])
+            + diag.astype(wd)[:, None] * X
+        )
+        return jnp.where(mask[:, None], Y, 0.0)
+
     return dict(
-        apply=apply_full, diag=diag, mask=mask,
+        apply=apply_full, apply_mat=apply_full_mat, diag=diag, mask=mask,
         nb_vals=nb_vals, safe=safe,
         T_cc_loc=T_cc_loc, T_vv_loc=T_vv_loc, T_vm_loc=T_vm_loc,
         mp_list=mp_list, mp_ok=mp_ok, mp_inv=mp_inv,
@@ -342,6 +385,49 @@ def assemble_halo_operator(
         int_needed=int_needed, anyvac=anyvac, metal=metal, aidx=aidx,
         r0a=r0a, r0m=r0m, r0v=r0v, Svc=Svc,
     )
+
+
+def _halo_deflation_ops(geom: Geometry, params: PhysParams, ts, sizes,
+                        op, d_diag):
+    """Distributed A-DEF2 deflation operators in the Jacobi-scaled metric
+    (the sharded twin of current._deflation_ops — see its docstring for
+    the metric/accuracy reasoning).  All products are over replicated
+    [Nf_pad(,K)] objects: every shard computes the identical coarse
+    quantities redundantly, so no psum reassociation enters the CG
+    trajectory."""
+    dtype = params.dtype
+    K = params.coarse_slabs
+    Na, Na_pad = sizes["Na"], sizes["Na_pad"]
+    ax = ts["apos"][:, 0].astype(dtype)               # [Na_pad] replicated
+    # x-slab aggregation over the atoms of the grounded subsystem; the
+    # grounded atom, pads and the two virtual nodes get NO aggregate
+    # (zero one-hot rows) — current._coarse_restriction semantics
+    sel = ts["arow_ok"] & (
+        jnp.arange(Na_pad, dtype=jnp.int32) < jnp.int32(Na - 1)
+    )
+    xmin = jnp.min(jnp.where(sel, ax, jnp.inf))
+    xmax = jnp.max(jnp.where(sel, ax, -jnp.inf))
+    slab = jnp.clip(
+        ((ax - xmin) / jnp.maximum(xmax - xmin, 1e-30) * K).astype(jnp.int32),
+        0, K - 1,
+    )
+    agg = jnp.where(sel, slab, K)
+    Z_atoms = jax.nn.one_hot(agg, K, dtype=dtype)     # [Na_pad, K]
+    Zm = jnp.concatenate([jnp.zeros((2, K), dtype=dtype), Z_atoms], axis=0)
+
+    AZ = op["apply_mat"](Zm, dtype)                   # f64 (E accuracy)
+    E = Zm.T @ AZ
+    E_inv = invert_coarse(E, dtype)
+
+    def esolve(a):
+        # one refinement round on the K x K solve (kappa(E) ~ 1e10)
+        c = E_inv @ a
+        return c + E_inv @ (a - E @ c)
+
+    ds = jnp.sqrt(jnp.where(d_diag > 0, d_diag, 1.0))
+    Zhat = ds[:, None] * Zm
+    W = AZ / ds[:, None]
+    return Zhat, W, esolve
 
 
 def halo_transport_power(
@@ -390,9 +476,32 @@ def halo_transport_power(
     )
     cg_tol = params.transport_tol
 
+    deflate = params.transport_precond == "deflated"
+    if deflate:
+        Zhat, W, esolve = _halo_deflation_ops(
+            geom, params, ts, sizes, op, d_diag
+        )
     if params.mixed:
         dsi = 1.0 / jnp.sqrt(jnp.where(d_diag > 0, d_diag, 1.0))
         dsi32 = dsi.astype(jnp.float32)
+        inner_precond = inner_start = None
+        if deflate:
+            Zh32 = Zhat.astype(jnp.float32)
+            W32 = W.astype(jnp.float32)
+
+            def _coarse_f32(coeff):
+                # coarse solve stays f64 (kappa(E) ~ 1e10); cast at the
+                # boundary only — current.update_power_blocked semantics
+                return esolve(coeff.astype(dtype)).astype(jnp.float32)
+
+            def inner_precond(r, gate):
+                g = jnp.where(gate, 1.0, 0.0).astype(jnp.float32)
+                return r + g * (Zh32 @ _coarse_f32(Zh32.T @ r - W32.T @ r))
+
+            def inner_start(b, gate):
+                g = jnp.where(gate, 1.0, 0.0).astype(jnp.float32)
+                return g * (Zh32 @ _coarse_f32(Zh32.T @ b))
+
         res = cg_solve_mixed(
             lambda y: dsi * apply_full(dsi * y, dtype),
             lambda y: (dsi32 * apply_full(dsi32 * y, jnp.float32)).astype(
@@ -401,6 +510,27 @@ def halo_transport_power(
             rhs * dsi, x0=x_init / dsi,
             tol=cg_tol, inner_tol=1e-5, inner_maxiter=400,
             maxiter=cg_maxiter,
+            inner_precond=inner_precond, inner_start=inner_start,
+            inner_gate_rel=DEFLATION_GATE_REL if deflate else None,
+        )
+        v = res.x * dsi
+    elif deflate:
+        # f64 deflated solve on the scaled system (criterion="r" there IS
+        # the Jacobi-preconditioned criterion on the unscaled one)
+        ds = jnp.sqrt(jnp.where(d_diag > 0, d_diag, 1.0))
+        dsi = 1.0 / ds
+        b_s = rhs * dsi
+        y0 = x_init * ds
+        y0 = (
+            y0
+            - Zhat @ esolve(W.T @ y0)
+            + Zhat @ esolve(Zhat.T @ b_s)
+        )
+        res = cg_solve(
+            lambda y: dsi * apply_full(dsi * y, dtype), b_s,
+            x0=y0,
+            precond=lambda r: r + Zhat @ esolve(Zhat.T @ r - W.T @ r),
+            tol=cg_tol, maxiter=cg_maxiter, criterion="r",
         )
         v = res.x * dsi
     else:
