@@ -203,11 +203,12 @@ def build_synthetic_crossbar_sim(
 
     ``full=True`` additionally enables blocked transport + global heating
     (the build_full_crossbar_sim module set) — the ≥500k full-physics
-    scaling demonstrations.  At 500k the metal_p x metal_p tunnel block
-    alone is ~50 GB f32 (vs 16 GB HBM on a v5e), so full-physics 500k runs
-    require the halo decomposition (--mesh N --decomposition halo), whose
-    transport shards that block by rows — the memory-scaling story the
-    decomposition exists for."""
+    scaling demonstrations.  The plate-contact synthetic composition
+    keeps n_mp (interior metal) modest (~16k at 500k sites), so the
+    stored metal block fits; geometries with interior metal at the
+    reference crossbar's fraction would need --cc-kernel fly (the
+    on-the-fly kernel, ops/wkb_pallas.py) or the halo decomposition
+    (--mesh N --decomposition halo), which shards the block by rows."""
     from devicekmc_tpu.config import KMCConfig
     from devicekmc_tpu.physics import heat as heat_mod
     from devicekmc_tpu.state import (

@@ -341,11 +341,18 @@ def assemble_halo_operator(
         K = X.shape[1]
         X = jnp.where(mask[:, None], X, 0.0).astype(wd)
         x0, x1, Xa = X[0], X[1], X[2:]
-        Ya_loc = jnp.zeros((Sa, K), dtype=wd)
-        for s_i in range(safe.shape[1]):
-            Ya_loc = Ya_loc + (
-                nb_vals[:, s_i:s_i + 1].astype(wd) * Xa[safe[:, s_i]]
-            )
+
+        # scan (not a Python loop) over the max_nn slots: bounds live
+        # memory to one [Sa, K] gather at a time — the unrolled form keeps
+        # all ~52 gathered panels live per virtual device on the CPU mesh
+        def slot_acc(acc, sc):
+            nb_s, safe_s = sc
+            return acc + nb_s[:, None].astype(wd) * Xa[safe_s], None
+
+        Ya_loc, _ = jax.lax.scan(
+            slot_acc, jnp.zeros((Sa, K), dtype=wd),
+            (nb_vals.T, safe.T),
+        )
         Ya = jax.lax.all_gather(Ya_loc, axis, tiled=True)
 
         Xm = Xa[mp_list].astype(cdtype)
