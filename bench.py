@@ -341,6 +341,9 @@ def main():
                          "kernel every matvec — zero HBM residency, the "
                          "only single-chip option beyond ~30k metal atoms) "
                          "| auto (stored under ~3 GB, fly beyond)")
+    ap.add_argument("--vm-kernel", default="jnp", choices=["jnp", "pallas"],
+                    help="vacancy x metal window-integral assembly (pallas: "
+                         "energy-step loop in VMEM per tile, TPU only)")
     ap.add_argument("--band-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="banded transport matvec implementation (pallas: "
                          "single-pass VMEM streaming, TPU only)")
@@ -471,6 +474,8 @@ def main():
         print(f"# transport_cc: {cc_mode} (n_mp={n_mp})", file=sys.stderr)
     if args.band_kernel != "jnp":
         params = params.replace(transport_band_kernel=args.band_kernel)
+    if args.vm_kernel != "jnp":
+        params = params.replace(tunnel_vm_kernel=args.vm_kernel)
     if args.ell_kernel == "pallas" and args.mesh:
         ap.error("--ell-kernel pallas is single-device only (the flat "
                  "page/lane plan does not follow the mesh row sharding)")

@@ -235,6 +235,9 @@ class KMCConfig:
                                            # — the only single-chip option beyond ~30k
                                            # metal atoms), "auto" (stored under ~3 GB,
                                            # fly beyond; current.resolve_transport_cc)
+    tunnel_vm_kernel: str = "jnp"          # vacancy x metal window-integral assembly:
+                                           # "jnp" | "pallas" (VMEM step loop,
+                                           # ops/wkb_pallas.py; test-compiled w/ fallback)
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -304,7 +307,7 @@ _STR_KEYS = {
     "precision", "selection", "output_dir", "event_mode", "heat_solver",
     "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
     "site_order", "poisson_kernel", "transport_band_kernel",
-    "ell_gather_kernel", "transport_cc",
+    "ell_gather_kernel", "transport_cc", "tunnel_vm_kernel",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

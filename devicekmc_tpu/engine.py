@@ -328,6 +328,30 @@ class Simulation:
                 )
                 self.params = self.params.replace(transport_band_kernel="jnp")
 
+        if getattr(self.params, "tunnel_vm_kernel", "jnp") == "pallas":
+            try:
+                from .ops.pairwise_pallas import on_tpu_default_device
+                from .ops.wkb_pallas import wkb_window_block
+
+                _env = current_mod.wkb_env(self.geom, self.params)
+                _t = wkb_window_block(
+                    jnp.arange(24, dtype=jnp.float32).reshape(8, 3),
+                    jnp.zeros(8, jnp.float32), jnp.ones(8, bool),
+                    jnp.arange(24, dtype=jnp.float32).reshape(8, 3) + 50.0,
+                    jnp.zeros(8, jnp.float32),
+                    _env, interpret=not on_tpu_default_device(),
+                )
+                jax.block_until_ready(_t)
+            except Exception as e:
+                import sys
+
+                print(
+                    f"WARNING: pallas window-integral kernel unavailable "
+                    f"({type(e).__name__}); falling back to jnp",
+                    file=sys.stderr,
+                )
+                self.params = self.params.replace(tunnel_vm_kernel="jnp")
+
         if (
             getattr(self.params, "ell_gather_kernel", "jnp") == "pallas"
             and mesh is None

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 PAD_DISPLACE = 1.0e6
 
 #: scalar-vector layout: indices into the [1, 128] sc input
-_PREFAC, _QV0, _CTOL, _NN, _LY, _LZ, _VSGN = range(7)
+_PREFAC, _QV0, _CTOL, _NN, _LY, _LZ, _VSGN, _DESTEP = range(8)
 
 
 def _pair_vals(sc, px_r, py_r, pz_r, cb_r, px_c, py_c, pz_c, cb_c, *, pbc):
@@ -181,6 +181,7 @@ def _sc_vector(env, vd=None):
         env["prefac"], env["qV0"], env["ctol"], env["nn"],
         env["lattice"][1], env["lattice"][2],
         jnp.sign(vd) if vd is not None else 0.0,
+        env.get("dE_step", 0.0),
     ]
     sc = jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
     return jnp.pad(sc, (0, 128 - sc.shape[0]))[None, :]
@@ -309,4 +310,109 @@ def wkb_fly_pdisp(pos, cb, ms, Vd, env, BR: int = 256,
     return _fly_pdisp_call(
         pos, cb, ms, _sc_vector(env, vd=Vd), bool(env["pbc"]),
         BR, BC, interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# contact->trap window-integral ASSEMBLY kernel (the stored T_vm block)
+# ---------------------------------------------------------------------------
+#
+# The vacancy x metal_p block uses the occupied-energy-window integration
+# (current.wkb_window_T; src/current_solver.cpp:99-134): n_int_steps
+# single-shot evaluations summed per pair.  It must stay STORED (it is
+# read ~10-200x per solve and its rows change with the vacancy bucket every
+# superstep), but its per-superstep ASSEMBLY is the cost: the jnp fori
+# materialises the [vcap, n_mp] elementwise intermediates in HBM on every
+# one of the n_int_steps passes.  This kernel runs the step loop entirely
+# in VMEM per [BR, BC] tile — HBM traffic is the output block, once.
+
+def _window_kernel(sc_ref, vx_ref, vy_ref, vz_ref, vcb_ref,
+                   px_ref, py_ref, pz_ref, cb_ref, o_ref,
+                   *, BR, BC, n_steps, pbc):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    sc = sc_ref[0, :]
+    r0, c0 = r * BR, c * BC
+    vx = vx_ref[0, pl.ds(r0, BR)]
+    vy = vy_ref[0, pl.ds(r0, BR)]
+    vz = vz_ref[0, pl.ds(r0, BR)]
+    vcb = vcb_ref[0, pl.ds(r0, BR)]
+    px = px_ref[0, pl.ds(c0, BC)]
+    py = py_ref[0, pl.ds(c0, BC)]
+    pz = pz_ref[0, pl.ds(c0, BC)]
+    pcb = cb_ref[0, pl.ds(c0, BC)]
+
+    dx = vx[:, None] - px[None, :]
+    dy = vy[:, None] - py[None, :]
+    dz = vz[:, None] - pz[None, :]
+    if pbc:
+        dy = dy - jnp.round(dy / sc[_LY]) * sc[_LY]
+        dz = dz - jnp.round(dz / sc[_LZ]) * sc[_LZ]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    abs_dE = jnp.abs(vcb[:, None] - pcb[None, :])
+    elig = (abs_dE > sc[_CTOL]) & ~(dist < sc[_NN])
+    safe = jnp.where(elig, abs_dE, 1.0)
+    s = sc[_PREFAC] * (dist * 1e-10) / safe
+    qV0 = sc[_QV0]
+    dE_step = sc[_DESTEP]
+
+    def step(k, acc):
+        iv = k.astype(jnp.float32) * dE_step
+        e1 = qV0 + iv
+        e2 = e1 - safe
+        e15 = e1 * jnp.sqrt(e1)
+        e2p = jnp.where(e2 > 0, e2, 0.0)
+        term = jnp.where(
+            e2 > 0,
+            jnp.exp(s * (e15 - e2p * jnp.sqrt(e2p))),
+            jnp.where(e2 < 0, jnp.exp(s * e15), 0.0),
+        )
+        return acc + jnp.where(iv < safe, term, 0.0)
+
+    T = jax.lax.fori_loop(0, n_steps, step, jnp.zeros((BR, BC), jnp.float32))
+    o_ref[:, :] = jnp.where(elig, -T, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pbc", "n_steps", "BR", "BC", "interpret")
+)
+def _window_call(vpos, vcb, pos, cb, sc, pbc, n_steps, BR, BC, interpret):
+    vx, vy, vz, vcbp, nv_pad = _prep(vpos, vcb, BR)
+    px, py, pz, cbp, n_pad = _prep(pos, cb, BC)
+    n_r, n_c = nv_pad // BR, n_pad // BC
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(
+                _window_kernel, BR=BR, BC=BC, n_steps=n_steps, pbc=pbc
+            ),
+            grid=(n_r, n_c),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(
+                (BR, BC), lambda r, c: (r, c), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((nv_pad, n_pad), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * nv_pad * n_pad * n_steps,
+                bytes_accessed=nv_pad * n_pad * 4,
+                transcendentals=nv_pad * n_pad * n_steps,
+            ),
+            interpret=interpret,
+        )(sc, vx, vy, vz, vcbp, px, py, pz, cbp)
+    return out[: vpos.shape[0], : pos.shape[0]]
+
+
+def wkb_window_block(vpos, vcb, v_ok, pos, cb, env, BR: int = 8,
+                     BC: int = 512, interpret: bool = False):
+    """Assemble the [n_vac, n_mp] contact->trap window-integral block
+    (current.tunnel_block(..., wkb_window_T)) with the energy-step loop in
+    VMEM.  ``v_ok`` masks inactive vacancy slots (handled by displacing
+    their positions, like the pad slots)."""
+    vpos_m = jnp.where(
+        v_ok[:, None], vpos.astype(jnp.float32),
+        jnp.asarray([PAD_DISPLACE, 0.0, 0.0], jnp.float32),
+    )
+    sc = _sc_vector(env)
+    return _window_call(
+        vpos_m, vcb, pos, cb, sc, bool(env["pbc"]),
+        int(env["n_int_steps"]), BR, BC, interpret,
     )

@@ -506,7 +506,17 @@ def assemble_X_blocks(
     if _cc_only:
         return dict(T_cc=T_cc)
     T_vv = tunnel_block(env, vpos, vcb, v_ok, vpos, vcb, v_ok, wkb_single_T)
-    T_vm = tunnel_block(env, vpos, vcb, v_ok, mpos, mcb, ones_m, wkb_window_T)
+    if getattr(params, "tunnel_vm_kernel", "jnp") == "pallas":
+        from ..ops.pairwise_pallas import on_tpu_default_device
+        from ..ops.wkb_pallas import wkb_window_block
+
+        T_vm = wkb_window_block(
+            vpos, vcb, v_ok, mpos, mcb, env,
+            interpret=not on_tpu_default_device(),
+        ).astype(cdtype)
+    else:
+        T_vm = tunnel_block(env, vpos, vcb, v_ok, mpos, mcb, ones_m,
+                            wkb_window_T)
 
     # exactness check for the static integration trip count: the number of
     # dE_step windows the widest eligible (vac, metal_p) pair needs

@@ -176,6 +176,10 @@ class PhysParams:
     # (ops/wkb_pallas.py: zero HBM residency, the only option beyond ~30k
     # metal atoms where the stored block cannot fit single-chip)
     transport_cc: str = struct.field(pytree_node=False, default="stored")
+    # vacancy x metal_p window-integral ASSEMBLY (per superstep): "jnp"
+    # (lax.fori over energy steps — one HBM pass over the block per step)
+    # | "pallas" (step loop in VMEM per tile, ops/wkb_pallas.py)
+    tunnel_vm_kernel: str = struct.field(pytree_node=False, default="jnp")
     ell_gather_kernel: str = struct.field(pytree_node=False, default="jnp")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     # static trip count of the contact->trap energy-window integration;
@@ -494,6 +498,7 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         transport_bf16_inner=getattr(cfg, "transport_bf16_inner", False),
         transport_band_kernel=getattr(cfg, "transport_band_kernel", "jnp"),
         transport_cc=getattr(cfg, "transport_cc", "stored"),
+        tunnel_vm_kernel=getattr(cfg, "tunnel_vm_kernel", "jnp"),
         ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,

@@ -108,6 +108,51 @@ def test_fly_pdisp_matches_stored(rand_points, vd):
     np.testing.assert_allclose(r_fly, np.asarray(r_ref), atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize("pbc", [False, True])
+def test_window_block_matches_stored(rand_points, pbc):
+    """The VMEM window-integral assembly kernel == tunnel_block(window)."""
+    from devicekmc_tpu.ops.wkb_pallas import wkb_window_block
+    from devicekmc_tpu.physics.current import wkb_window_T
+
+    pos, cb, _, rng = rand_points
+    env = _rand_env(pbc)
+    nv = 24
+    vpos = jnp.asarray(pos[:nv] + 0.5)
+    vcb = jnp.asarray(cb[:nv] * 0.7)
+    v_ok = jnp.asarray(np.arange(nv) < nv - 5)
+    T_ref = tunnel_block(
+        env, vpos, vcb, v_ok, jnp.asarray(pos), jnp.asarray(cb),
+        jnp.ones(pos.shape[0], bool), wkb_window_T,
+    )
+    T_fly = wkb_window_block(
+        vpos, vcb, v_ok, jnp.asarray(pos), jnp.asarray(cb), env,
+        interpret=True,
+    )
+    scale = max(float(jnp.max(jnp.abs(T_ref))), 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(T_fly), np.asarray(T_ref), atol=1e-5 * scale
+    )
+    # masked vacancy rows are exactly zero
+    assert (np.asarray(T_fly)[nv - 5:] == 0).all()
+
+
+def test_blocked_vm_pallas_matches_jnp(blocked_sim):
+    """assemble_X_blocks with tunnel_vm_kernel='pallas' == 'jnp'."""
+    geom, params, state, Vd, n_vac = blocked_sim
+    base = params.replace(
+        transport="blocked", tunnel_vac_cap=max(16, n_vac + 4), mixed=True
+    )
+    blk_j = current_mod.assemble_X_blocks(geom, base, state)
+    blk_p = current_mod.assemble_X_blocks(
+        geom, base.replace(tunnel_vm_kernel="pallas"), state
+    )
+    scale = max(float(np.abs(np.asarray(blk_j["T_vm"])).max()), 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(blk_p["T_vm"]), np.asarray(blk_j["T_vm"]),
+        atol=1e-5 * scale,
+    )
+
+
 def test_resolve_transport_cc():
     assert resolve_transport_cc("stored", 10 ** 6, True) == "stored"
     assert resolve_transport_cc("fly", 10, True) == "fly"
