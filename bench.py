@@ -584,7 +584,31 @@ def main():
     cc = None
     if args.full or args.full_crossbar:
         from devicekmc_tpu.physics.potential import solve_cb_edge
-        state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
+        if args.chunk_cold > 0:
+            # the cold CB-edge solve needs the same watchdog-proofing as
+            # the boundary network (engine._chunked_cb_edge): at 500k+ a
+            # single cold f64 Laplace dispatch exceeds the ~2-minute relay
+            # limit and CRASHES the TPU worker
+            fcb = jax.jit(solve_cb_edge)
+            pchunk = params.replace(solver_maxiter=args.chunk_cold)
+            t0 = time.time()
+            total = 0
+            for _ in range(1000):
+                state, m = fcb(geom, pchunk, state, Vd)
+                it = int(m["cg_iters_cb_edge"])
+                total += it
+                if it < args.chunk_cold:
+                    break
+            else:
+                raise RuntimeError(
+                    "chunked CB-edge solve failed to converge in 1000 "
+                    "dispatches"
+                )
+            print(f"# chunked CB-edge solve: {total} iterations in "
+                  f"{time.time()-t0:.0f}s ({args.chunk_cold}/dispatch)",
+                  file=sys.stderr)
+        else:
+            state, _ = jax.jit(solve_cb_edge)(geom, params, state, Vd)
         if args.mesh and args.decomposition == "halo":
             # sharded per-bias-point metal-block row cache
             from devicekmc_tpu.parallel.halo_superstep import (

@@ -99,6 +99,48 @@ def _mv_kernel(sc_ref, px_ref, py_ref, pz_ref, cb_ref, x_ref, o_ref,
     o_ref[0, 0, :] = acc
 
 
+def _mv_sym_kernel(sc_ref, px_ref, py_ref, pz_ref, cb_ref, x_ref, o_ref,
+                   y_acc, *, B, n_b, pbc):
+    """Symmetric matvec: the cc block is symmetric (distance and |dE| are),
+    so each strict upper-triangle [B, B] tile is computed ONCE and
+    contributes to both its row block (vals @ x_c) and its column block
+    (vals^T @ x_r) — halving the transcendental work.  ``y_acc`` is a
+    VMEM scratch accumulator that persists across the sequential TPU grid;
+    the (constant-index) output block is written on the last grid step.
+    Lower-triangle grid steps skip all compute."""
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    sc = sc_ref[0, :]
+
+    @pl.when(jnp.logical_and(r == 0, c == 0))
+    def _():
+        y_acc[0, :] = jnp.zeros_like(y_acc[0, :])
+
+    @pl.when(c >= r)
+    def _():
+        r0, c0 = r * B, c * B
+        vals = _pair_vals(
+            sc,
+            px_ref[0, pl.ds(r0, B)], py_ref[0, pl.ds(r0, B)],
+            pz_ref[0, pl.ds(r0, B)], cb_ref[0, pl.ds(r0, B)],
+            px_ref[0, pl.ds(c0, B)], py_ref[0, pl.ds(c0, B)],
+            pz_ref[0, pl.ds(c0, B)], cb_ref[0, pl.ds(c0, B)], pbc=pbc,
+        )
+        row_part = jnp.sum(vals * x_ref[0, pl.ds(c0, B)][None, :], axis=1)
+        y_acc[0, pl.ds(r0, B)] = y_acc[0, pl.ds(r0, B)] + row_part
+
+        @pl.when(c > r)
+        def _():
+            col_part = jnp.sum(
+                vals * x_ref[0, pl.ds(r0, B)][:, None], axis=0
+            )
+            y_acc[0, pl.ds(c0, B)] = y_acc[0, pl.ds(c0, B)] + col_part
+
+    @pl.when(jnp.logical_and(r == n_b - 1, c == n_b - 1))
+    def _():
+        o_ref[0, :] = y_acc[0, :]
+
+
 def _mm_kernel(sc_ref, px_ref, py_ref, pz_ref, cb_ref, x_ref, o_ref,
                *, BR, BC, n_c, K, pbc):
     """Multi-RHS variant: x_ref [K, n_pad] -> o_ref [1, K, BR]."""
@@ -214,13 +256,43 @@ def _fly_mv_call(pos, cb, x, sc, pbc, BR, BC, interpret):
     return out.reshape(-1)[: pos.shape[0]]
 
 
+@functools.partial(jax.jit, static_argnames=("pbc", "B", "interpret"))
+def _fly_mv_sym_call(pos, cb, x, sc, pbc, B, interpret):
+    px, py, pz, cbp, n_pad = _prep(pos, cb, B)
+    xp = jnp.pad(x.astype(jnp.float32), (0, n_pad - x.shape[0]))[None, :]
+    n_b = n_pad // B
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_mv_sym_kernel, B=B, n_b=n_b, pbc=pbc),
+            grid=(n_b, n_b),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=15 * n_pad * n_pad,
+                bytes_accessed=6 * n_pad * 4,
+                transcendentals=n_pad * n_pad // 2,
+            ),
+            interpret=interpret,
+        )(sc, px, py, pz, cbp, xp)
+    return out.reshape(-1)[: pos.shape[0]]
+
+
 def wkb_fly_matvec(pos, cb, x, env, BR: int = 256, BC: int = 512,
-                   interpret: bool = False):
+                   interpret: bool = False, symmetric: bool = True):
     """y = T_cc @ x without materialising T_cc (entries re-derived in-kernel).
 
     pos: [n_mp, 3] metal_p coordinates; cb: [n_mp] CB edges [J];
     x: [n_mp]; env: current.wkb_env(...) dict.  Returns [n_mp] f32.
+    ``symmetric=True`` (default): upper-triangle tiling with a VMEM
+    column accumulator — the block is symmetric, so this halves the
+    per-pair transcendental work.
     """
+    if symmetric:
+        return _fly_mv_sym_call(
+            pos, cb, x, _sc_vector(env), bool(env["pbc"]), BC, interpret
+        )
     return _fly_mv_call(
         pos, cb, x, _sc_vector(env), bool(env["pbc"]), BR, BC, interpret
     )

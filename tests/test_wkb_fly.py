@@ -57,7 +57,8 @@ def rand_points():
 
 
 @pytest.mark.parametrize("pbc", [False, True])
-def test_fly_matvec_matches_stored(rand_points, pbc):
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_fly_matvec_matches_stored(rand_points, pbc, symmetric):
     pos, cb, x, _ = rand_points
     env = _rand_env(pbc)
     n = pos.shape[0]
@@ -67,7 +68,7 @@ def test_fly_matvec_matches_stored(rand_points, pbc):
     y_ref = np.asarray(T).astype(np.float64) @ x.astype(np.float64)
     y_fly = np.asarray(wkb_fly_matvec(
         jnp.asarray(pos), jnp.asarray(cb), jnp.asarray(x), env,
-        interpret=True,
+        interpret=True, symmetric=symmetric,
     ))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_fly, y_ref, atol=1e-5 * scale)
