@@ -194,6 +194,7 @@ def build_synthetic_sim(n_sites: int, precision: str):
 def build_synthetic_crossbar_sim(
     n_sites: int, precision: str, pad_to: int = 1, site_order: str = "file",
     full: bool = False, vd: float = 1.0, precond: str = "deflated",
+    substoich: float = 0.02,
 ):
     """Synthetic crossbar (structure.make_crossbar_structure) scaled to
     ~n_sites, same modules as the headline bench (charge + potentials +
@@ -222,7 +223,7 @@ def build_synthetic_crossbar_sim(
     ny = nz = max(8, int(round((n_sites / col) ** 0.5)))
     s = make_crossbar_structure(nx_contact=nxc, nx_oxide=nxo, ny=ny, nz=nz,
                                 seed=1)
-    elems = make_substoichiometric(s.elements, 0.02, seed=5)
+    elems = make_substoichiometric(s.elements, substoich, seed=5)
     extra = {}
     if full:
         from devicekmc_tpu.structure import Element
@@ -341,6 +342,12 @@ def main():
                          "kernel every matvec — zero HBM residency, the "
                          "only single-chip option beyond ~30k metal atoms) "
                          "| auto (stored under ~3 GB, fly beyond)")
+    ap.add_argument("--substoich", type=float, default=0.02,
+                    help="synthetic-crossbar initial vacancy fraction of "
+                         "oxygen sites (sets the forming-start vacancy "
+                         "count and the tunnel_vac_cap bucket; the "
+                         "in-superstep window-integral assembly is "
+                         "O(vcap * n_mp * int_steps))")
     ap.add_argument("--vm-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="vacancy x metal window-integral assembly (pallas: "
                          "energy-step loop in VMEM per tile, TPU only)")
@@ -448,7 +455,7 @@ def main():
             args.synthetic_crossbar, args.precision,
             pad_to=pad_to, site_order=site_order,
             full=args.full, vd=args.vd if args.vd is not None else 1.0,
-            precond=args.precond,
+            precond=args.precond, substoich=args.substoich,
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)

@@ -473,7 +473,7 @@ def _window_call(vpos, vcb, pos, cb, sc, pbc, n_steps, BR, BC, interpret):
     return out[: vpos.shape[0], : pos.shape[0]]
 
 
-def wkb_window_block(vpos, vcb, v_ok, pos, cb, env, BR: int = 8,
+def wkb_window_block(vpos, vcb, v_ok, pos, cb, env, BR: int = 128,
                      BC: int = 512, interpret: bool = False):
     """Assemble the [n_vac, n_mp] contact->trap window-integral block
     (current.tunnel_block(..., wkb_window_T)) with the energy-step loop in
