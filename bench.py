@@ -561,7 +561,16 @@ def main():
             return st, dts[-1], last
     else:
         step = jax.jit(superstep_impl)
-    Vd = args.vd if args.vd is not None else (5.0 if args.full else 1.0)
+    # default bias: 5 V on the 9030-site reference device (--full), 1 V on
+    # crossbar-class runs — MUST match the vd used to size tunnel_int_steps
+    # in the builders (a 5 V drive against a 1 V-sized window truncates the
+    # contact->trap integral; the tunnel_int_steps_needed warning fires)
+    if args.vd is not None:
+        Vd = args.vd
+    elif args.full and not args.synthetic_crossbar:
+        Vd = 5.0
+    else:
+        Vd = 1.0
     if args.chunk_cold > 0 and params.solve_potential:
         from devicekmc_tpu.physics.charge import update_charge
         from devicekmc_tpu.physics.potential import solve_boundary_potential
