@@ -194,7 +194,7 @@ def build_synthetic_sim(n_sites: int, precision: str):
 def build_synthetic_crossbar_sim(
     n_sites: int, precision: str, pad_to: int = 1, site_order: str = "file",
     full: bool = False, vd: float = 1.0, precond: str = "deflated",
-    substoich: float = 0.02,
+    substoich: float = 0.02, bar_pitch: int = 0,
 ):
     """Synthetic crossbar (structure.make_crossbar_structure) scaled to
     ~n_sites, same modules as the headline bench (charge + potentials +
@@ -222,7 +222,7 @@ def build_synthetic_crossbar_sim(
     col = 2 * nxc + nxo * (1 + f)
     ny = nz = max(8, int(round((n_sites / col) ** 0.5)))
     s = make_crossbar_structure(nx_contact=nxc, nx_oxide=nxo, ny=ny, nz=nz,
-                                seed=1)
+                                seed=1, bar_pitch=bar_pitch)
     elems = make_substoichiometric(s.elements, substoich, seed=5)
     extra = {}
     if full:
@@ -253,7 +253,8 @@ def build_synthetic_crossbar_sim(
     base.update(extra)
     cfg = KMCConfig(**base)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, f"nb_syncb_{len(elems)}.npz")
+    bar_tag = f"_bars{bar_pitch}" if bar_pitch else ""
+    cache = os.path.join(CACHE_DIR, f"nb_syncb_{len(elems)}{bar_tag}.npz")
     if os.path.exists(cache):
         neigh_idx = np.load(cache)["neigh_idx"]
     else:
@@ -348,6 +349,12 @@ def main():
                          "count and the tunnel_vac_cap bucket; the "
                          "in-superstep window-integral assembly is "
                          "O(vcap * n_mp * int_steps))")
+    ap.add_argument("--bars", type=int, default=0, metavar="PITCH",
+                    help="synthetic-crossbar interior metal bars: embed "
+                         "stacked Ti/N word/bit lines in the oxide at the "
+                         "given y/z pitch (3D X-point composition; interior "
+                         "metal scales with volume, the transport_cc=fly "
+                         "design regime).  0 = plate contacts only")
     ap.add_argument("--vm-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="vacancy x metal window-integral assembly (pallas: "
                          "energy-step loop in VMEM per tile, TPU only)")
@@ -456,6 +463,7 @@ def main():
             pad_to=pad_to, site_order=site_order,
             full=args.full, vd=args.vd if args.vd is not None else 1.0,
             precond=args.precond, substoich=args.substoich,
+            bar_pitch=args.bars,
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)

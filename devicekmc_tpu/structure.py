@@ -421,6 +421,9 @@ def make_crossbar_structure(
     jitter: float = 0.25,
     interstitial_fraction: float = 0.74,
     seed: int = 0,
+    bar_pitch: int = 0,
+    bar_width: int = 2,
+    bar_x_pitch: int = 6,
 ) -> GeneratedStructure:
     """Synthetic crossbar-class structure at arbitrary scale.
 
@@ -434,7 +437,19 @@ def make_crossbar_structure(
     2 O per cell, Gaussian ``jitter`` making the neighbour count
     distribution amorphous-like); interstitials are uniform in the oxide
     region.  Defaults give ~115k sites; scale ny/nz/nx_oxide for the
-    200k-750k scaling studies."""
+    200k-750k scaling studies.
+
+    ``bar_pitch > 0`` embeds interior metal lines in the oxide — the 3D
+    X-point composition (stacked word/bit lines) where interior metal
+    scales with VOLUME instead of the plates' cross-section.  Every
+    ``bar_x_pitch``-th oxide x-plane pair becomes a bar plane whose
+    orientation alternates (lines along y, then along z); within a bar
+    plane, cells with ``iz % bar_pitch < bar_width`` (resp. ``iy``) are
+    crystalline Ti/N instead of jittered HfO2.  Bars never span x, so the
+    contacts are not shorted.  This is the geometry class that exercises
+    ``transport_cc='fly'`` at its design scale: n_mp grows ~N rather than
+    ~N^(2/3), and the stored metal_p x metal_p tunnel block
+    (O(n_mp^2) bytes) stops fitting in HBM long before N does."""
     from .config import Layer
 
     rng = np.random.default_rng(seed)
@@ -454,6 +469,18 @@ def make_crossbar_structure(
                     elems.append(int(e))
                     coords.append([x, y, z])
                 else:
+                    ox_ix = ix - nx_contact
+                    in_bar = False
+                    if bar_pitch > 0 and ox_ix % bar_x_pitch < 2:
+                        # bar plane pair; orientation alternates per pair
+                        along_y = (ox_ix // bar_x_pitch) % 2 == 0
+                        t = iz if along_y else iy
+                        in_bar = t % bar_pitch < bar_width
+                    if in_bar:
+                        e = Element.Ti if (ix + iy + iz) % 2 else Element.N
+                        elems.append(int(e))
+                        coords.append([x, y, z])
+                        continue
                     # HfO2-like: one jittered site per cell, Hf:O = 1:2
                     # (matches the reference oxide's ~0.09 sites/A^3)
                     e = Element.Hf if (ix + iy + iz) % 3 == 0 else Element.O

@@ -161,3 +161,44 @@ def test_make_crossbar_structure():
     mean_nn = float((nb >= 0).sum(1).mean())
     assert 15 < mean_nn < 40        # reference crossbar: ~27
     assert nb.shape[1] < 80         # reference: 52
+
+
+def test_make_crossbar_structure_interior_bars():
+    """3D X-point variant: bar_pitch embeds interior Ti/N word/bit lines
+    in the oxide (metal scales with volume — the transport_cc=fly design
+    regime), without shorting the contacts along x or changing the total
+    site count."""
+    from devicekmc_tpu.structure import Element, make_crossbar_structure
+
+    a = 2.13
+    base = make_crossbar_structure(nx_contact=4, nx_oxide=12, ny=12, nz=12,
+                                   seed=2)
+    bars = make_crossbar_structure(nx_contact=4, nx_oxide=12, ny=12, nz=12,
+                                   seed=2, bar_pitch=4)
+    assert len(bars.elements) == len(base.elements)
+
+    metals = {int(Element.Ti), int(Element.N)}
+    is_m = np.isin(bars.elements, list(metals))
+    ox_lo, ox_hi = 4 * a, (4 + 12) * a
+    x = bars.coords[:, 0]
+    in_oxide = (x > ox_lo + 0.5 * a) & (x < ox_hi - 0.5 * a)
+    n_int = int(np.sum(is_m & in_oxide))
+    base_int = int(np.sum(np.isin(base.elements, list(metals))
+                          & (base.coords[:, 0] > ox_lo + 0.5 * a)
+                          & (base.coords[:, 0] < ox_hi - 0.5 * a)))
+    assert base_int == 0
+    assert n_int > 0.05 * np.sum(in_oxide)
+
+    # no x-spanning short: every bar plane pair is separated from the
+    # next metal x-plane by > nn_dist of pure oxide
+    mx = np.unique(np.round(x[is_m] / a).astype(int))
+    ox_planes = [p for p in mx if ox_lo / a < p < ox_hi / a - 0.5]
+    runs, cur = [], [ox_planes[0]]
+    for p in ox_planes[1:]:
+        if p == cur[-1] + 1:
+            cur.append(p)
+        else:
+            runs.append(cur)
+            cur = [p]
+    runs.append(cur)
+    assert all(len(r) <= 2 for r in runs)   # pairs only, never a bridge
