@@ -218,6 +218,14 @@ class KMCConfig:
                                            # and the outer tolerance auto-tightens 1e-2 to
                                            # keep the mixed-mode accuracy envelope (see
                                            # update_power_blocked) — opt-in pending a TPU win
+    transport_skip_unchanged: bool = True  # exact skip of the in-superstep transport solve
+                                           # when (element, charge) at atom sites and Vd are
+                                           # unchanged since the last converged solve — the
+                                           # 'warm' solve costs ~180 ms at crossbar scale
+                                           # even at 0 CG iterations (assembly + deflation
+                                           # setup + criterion matvec).  Bit-exact: an
+                                           # identical network solved from its own converged
+                                           # solution returns it unchanged.
     ell_gather_kernel: str = "jnp"         # ELL neighbour gather (rate table + charge rule):
                                            # "jnp" (XLA row gather) | "pallas" (page-shuffle
                                            # window sweep, ops/ell_gather_pallas.py; measured
@@ -283,6 +291,7 @@ _BOOL_KEYS = {
     "solve_potential", "solve_current", "solve_heating_global",
     "solve_heating_local", "perturb_structure", "transport_banded",
     "transport_bf16_inner", "boundary_incremental",
+    "transport_skip_unchanged",
 }
 _INT_KEYS = {
     "rnd_seed", "rnd_seed_kmc", "log_freq", "output_freq", "batch_steps",

@@ -740,6 +740,7 @@ class Simulation:
         "T_bg", "key", "kmc_time", "I_macro", "P_tot",
         "virtual_potentials", "step_count", "cvac_prev", "Vd_prev",
         "boundary_r", "boundary_b",
+        "trans_elem_prev", "trans_charge_prev", "transport_Vd_prev",
     )
     _CKPT_CAP_FIELDS = (
         # compaction caps grown by _check_caps: must survive a resume or
@@ -894,6 +895,14 @@ class Simulation:
         # cfg.boundary_precond (jacobi default: they are setup-dominated)
         cold_params = self.params.replace(boundary_precond="deflated")
         if params.solve_current:
+            # invalidate the unchanged-network transport skip across the
+            # bias boundary: consecutive equal biases re-solve the CB edge
+            # iteratively, so the networks are not bit-comparable
+            self.state = self.state.replace(
+                transport_Vd_prev=jnp.full_like(
+                    self.state.transport_Vd_prev, jnp.nan
+                )
+            )
             if resume_step == 0:
                 t0 = time.perf_counter()
                 if chunk > 0:

@@ -1122,7 +1122,7 @@ def update_power_blocked(
         "Current [uA]": I_macro * 1e6,
         "Conductance [uS]": jnp.abs(I_macro / jnp.where(Vd != 0, Vd, 1.0)) * 1e6,
         "cg_iters_power": cg_iters,
-        "transport_rel0": getattr(res, "rel0", jnp.nan),
+        "transport_rel0": jnp.asarray(getattr(res, "rel0", jnp.nan), dtype),
         # the explicit convergence signal chunked-dispatch drivers loop on
         # (iteration counts alone are ambiguous: cg_solve_mixed can also
         # exit at max_outer refinement rounds with iters < maxiter)
@@ -1136,6 +1136,39 @@ def update_power_blocked(
     return new_state, metrics
 
 
+def _reuse_transport_metrics(
+    geom: Geometry, params: PhysParams, state: SimState, Vd, blocked: bool
+) -> Dict:
+    """Metrics for an unchanged-network transport skip, reconstructed from
+    the stored converged solution — same keys/dtypes as the matching solve
+    branch (lax.cond requires identical avals)."""
+    dtype = params.dtype
+    nsi = params.num_source_inj
+    I_macro = state.I_macro.astype(dtype)
+    v = state.virtual_potentials
+    metrics = {
+        "n_vac_atoms": jnp.sum(
+            state.element[geom.atom_ind] == int(Element.VACANCY),
+            dtype=jnp.int32,
+        ),
+        "Current [uA]": I_macro * 1e6,
+        "Conductance [uS]": jnp.abs(
+            I_macro / jnp.where(Vd != 0, Vd, 1.0)
+        ) * 1e6,
+        "cg_iters_power": jnp.asarray(0, jnp.int32),
+        "transport_converged": jnp.asarray(True),
+        "contact_potential_drop": jnp.abs(v[nsi] - Vd).astype(dtype),
+    }
+    if blocked:
+        metrics["transport_rel0"] = jnp.asarray(0.0, dtype)
+        # 0 is safe: the identical network's requirement was checked when
+        # it was last solved; the driver takes a max over steps
+        metrics["tunnel_int_steps_needed"] = jnp.asarray(0, jnp.int32)
+    if params.solve_heating_global or params.solve_heating_local:
+        metrics["Total dissipated power [mW]"] = state.P_tot.astype(dtype) * 1e3
+    return metrics
+
+
 def update_power(
     geom: Geometry,
     params: PhysParams,
@@ -1145,14 +1178,71 @@ def update_power(
     cg_tol: float = None,
     cg_maxiter: int = 20000,
     cc=None,
+    allow_skip: bool = False,
 ) -> Tuple[SimState, Dict]:
+    """Transport dispatcher.  ``allow_skip=True`` (the superstep path)
+    enables the exact unchanged-network fast path: X is a function of
+    (element, charge) at atom sites, the bias-start CB edge and Vd only —
+    when all are unchanged since the last converged solve, that solution
+    IS the solution (re-solving from it would exit at 0 iterations) and
+    the assembly + setup cost (~180 ms at crossbar scale) is skipped.
+    Cold pre-solves and tests call with the default (always solve)."""
     if cg_tol is None:
         cg_tol = params.transport_tol
-    if params.transport == "blocked" and method != "direct":
-        return update_power_blocked(
-            geom, params, state, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-            cc=cc,
-        )
+    blocked = params.transport == "blocked" and method != "direct"
+    if blocked:
+        def solve_fn(st):
+            return update_power_blocked(
+                geom, params, st, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                cc=cc,
+            )
+    else:
+        def solve_fn(st):
+            return _update_power_dense(
+                geom, params, st, Vd, method, cg_tol, cg_maxiter
+            )
+
+    skip_on = (
+        allow_skip
+        and getattr(params, "transport_skip_unchanged", True)
+        and method != "direct"
+    )
+    if not skip_on:
+        return solve_fn(state)
+
+    dtype = params.dtype
+    elem_a = state.element[geom.atom_ind].astype(jnp.int32)
+    chg_a = state.charge[geom.atom_ind].astype(jnp.int32)
+    Vd_arr = jnp.asarray(Vd, dtype)
+    unchanged = (
+        jnp.all(elem_a == state.trans_elem_prev)
+        & jnp.all(chg_a == state.trans_charge_prev)
+        & (state.transport_Vd_prev == Vd_arr)
+    )
+
+    def solve_branch(st):
+        new_st, m = solve_fn(st)
+        return new_st.replace(
+            trans_elem_prev=elem_a,
+            trans_charge_prev=chg_a,
+            transport_Vd_prev=Vd_arr,
+        ), m
+
+    def reuse_branch(st):
+        return st, _reuse_transport_metrics(geom, params, st, Vd, blocked)
+
+    return jax.lax.cond(unchanged, reuse_branch, solve_branch, state)
+
+
+def _update_power_dense(
+    geom: Geometry,
+    params: PhysParams,
+    state: SimState,
+    Vd,
+    method: str,
+    cg_tol: float,
+    cg_maxiter: int,
+) -> Tuple[SimState, Dict]:
     dtype = params.dtype
     Na = geom.N_atom
     Nsub = Na + 1

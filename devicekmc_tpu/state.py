@@ -187,6 +187,11 @@ class PhysParams:
     # volt of CB-edge spread.  The blocked path emits the needed count as a
     # metric so the driver can detect truncation.
     tunnel_int_steps: int = struct.field(pytree_node=False, default=1024)
+    # exact unchanged-network skip for the in-superstep transport solve
+    # (see SimState.trans_elem_prev); consulted only on the superstep path
+    transport_skip_unchanged: bool = struct.field(
+        pytree_node=False, default=True
+    )
     mixed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.float64)
 
@@ -223,6 +228,18 @@ class SimState:
     # on the single-device/replicated path with boundary_precond="jacobi".
     boundary_r: Any          # [N] float
     boundary_b: Any          # [N] float
+
+    # change-tracking for the transport solve (current.update_power):
+    # X depends only on (element, charge) at atom sites, the bias-start
+    # CB edge, and Vd — when none changed since the last converged solve,
+    # that solution is exact and the whole 'warm' solve (assembly +
+    # deflation setup + criterion matvec, ~180 ms at crossbar scale even
+    # at 0 CG iterations) is skipped.  The engine resets transport_Vd_prev
+    # to NaN at every bias start (the CB edge re-solve makes same-Vd
+    # consecutive bias points not bit-comparable).
+    trans_elem_prev: Any     # [N_atom] int32: element[atom_ind] at last solve
+    trans_charge_prev: Any   # [N_atom] int32: charge[atom_ind] at last solve
+    transport_Vd_prev: Any   # scalar: bias at last transport solve
 
 
 # ----------------------------------------------------------------------------
@@ -502,6 +519,9 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
         tunnel_int_steps=cfg.tunnel_int_steps,
+        transport_skip_unchanged=getattr(
+            cfg, "transport_skip_unchanged", True
+        ),
         mixed=(cfg.precision == "mixed"),
         dtype=dtype,
     )
@@ -565,6 +585,9 @@ def init_state(
         Vd_prev=jnp.asarray(jnp.nan, dtype=dtype),
         boundary_r=zeros,
         boundary_b=zeros,
+        trans_elem_prev=jnp.full(geom.N_atom, -1, dtype=jnp.int32),
+        trans_charge_prev=jnp.zeros(geom.N_atom, dtype=jnp.int32),
+        transport_Vd_prev=jnp.asarray(jnp.nan, dtype=dtype),
     )
 
 

@@ -44,7 +44,12 @@ def superstep_impl(
         metrics["n_active_rows"] = res.n_active
 
     if params.solve_current:
-        state, m = current_mod.update_power(geom, params, state, Vd, cc=cc)
+        # allow_skip: the exact unchanged-network fast path applies only
+        # here, where events may have left X identical to the last solve;
+        # cold pre-solves call update_power directly and always solve
+        state, m = current_mod.update_power(
+            geom, params, state, Vd, cc=cc, allow_skip=True
+        )
         metrics.update(m)
         if params.solve_heating_global or params.solve_heating_local:
             state, m = heat_mod.update_temperature(

@@ -67,10 +67,8 @@ def main():
           f"{time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
     state = st
 
-    # --- component probes (dependent chains) ---
-    ccv = cc.get("cc")
-    bandv = cc.get("band")
-
+    # --- component probes (dependent chains); cc passed as jit ARGS so
+    # the 2.45 GB metal block is a device buffer, not a captured constant
     def probe(label, fn, *a):
         f = jax.jit(fn)
         out = f(*a)          # compile
@@ -80,47 +78,51 @@ def main():
             out = f(*a)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / args.chain
-        print(f"{label:28s} {dt*1e3:9.2f} ms")
+        print(f"{label:28s} {dt*1e3:9.2f} ms", flush=True)
         return dt
 
-    def do_assemble(s):
+    ccv = cc.get("cc")
+    bandv = cc.get("band")
+
+    def do_assemble(s, ccv, bandv):
         blk = cur.assemble_X_blocks(geom, params, s, cc=ccv, band=bandv)
         return blk["diag"]
 
-    probe("assemble_X_blocks", do_assemble, state)
+    probe("assemble_X_blocks", do_assemble, state, ccv, bandv)
 
-    def do_deflate(s):
+    def do_deflate(s, ccv, bandv):
         blk = cur.assemble_X_blocks(geom, params, s, cc=ccv, band=bandv)
         d = blk["diag"][: geom.N_atom + 1]
         Zhat, W, _ = cur._deflation_ops(geom, params, blk, d)
         return W
 
     if args.precond == "deflated":
-        probe("assemble + deflation_ops", do_deflate, state)
+        probe("assemble + deflation_ops", do_deflate, state, ccv, bandv)
 
-    def do_matvec(s):
+    def do_matvec(s, ccv, bandv):
         blk = cur.assemble_X_blocks(geom, params, s, cc=ccv, band=bandv)
         x = s.virtual_potentials
         kern = getattr(params, "transport_band_kernel", "jnp")
         return cur._apply_X_blocks(blk, x, params.dtype, kern)
 
-    probe("assemble + 1 f64 matvec", do_matvec, state)
+    probe("assemble + 1 f64 matvec", do_matvec, state, ccv, bandv)
 
-    def do_solve(s):
+    def do_solve(s, cc):
         st2, m2 = cur.update_power_blocked(geom, params, s, Vd, cc=cc)
         return st2.I_macro, st2.virtual_potentials, m2["cg_iters_power"]
 
     f = jax.jit(do_solve)
-    out = f(state)
+    out = f(state, cc)
     jax.block_until_ready(out[0])
     iters = int(out[2])
     t0 = time.time()
     n = max(3, args.chain // 2)
     for _ in range(n):
-        out = f(state)
+        out = f(state, cc)
     jax.block_until_ready(out[0])
     dt = (time.time() - t0) / n
-    print(f"{'full warm solve':28s} {dt*1e3:9.2f} ms   ({iters} cg iters)")
+    print(f"{'full warm solve':28s} {dt*1e3:9.2f} ms   ({iters} cg iters)",
+          flush=True)
 
 
 if __name__ == "__main__":
