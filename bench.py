@@ -271,6 +271,166 @@ def build_synthetic_crossbar_sim(
     return geom, params, heat_mod.empty_heat_model(params), state
 
 
+def run_selftest() -> int:
+    """On-device fly-vs-stored WKB parity (REAL Mosaic compile when a TPU
+    is the default backend, interpret mode otherwise): one matvec, one
+    matmat, one pdisp sweep and one window-integral assembly compared
+    against the stored tunnel_block path on the live chip.  Catches Mosaic
+    lowering regressions that the CPU-interpret test suite
+    (tests/test_wkb_fly.py) structurally cannot (VERDICT r4).  Prints one
+    JSON line; returns 0 on pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from devicekmc_tpu import constants as C
+    from devicekmc_tpu.ops.pairwise_pallas import on_tpu_default_device
+    from devicekmc_tpu.ops.wkb_pallas import (
+        wkb_fly_matmat, wkb_fly_matvec, wkb_fly_pdisp, wkb_window_block,
+    )
+    from devicekmc_tpu.physics.current import (
+        _pdisp_rows_cols, tunnel_block, wkb_single_T, wkb_window_T,
+    )
+
+    interp = not on_tpu_default_device()
+    print(f"# selftest: backend={jax.default_backend()}, "
+          f"mosaic={'interpret' if interp else 'native'}", file=sys.stderr)
+
+    rng = np.random.default_rng(1234)
+    n = 768
+    lattice = np.array([110.0, 70.0, 70.0])
+    pos = (rng.random((n, 3)) * lattice).astype(np.float32)
+    cb = (rng.random(n) * C.Q_C * 2 - C.Q_C).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    m_e = 0.85 * 9.1093837015e-31
+    env = dict(
+        cdtype=jnp.float32,
+        prefac=jnp.float32(-(np.sqrt(2 * m_e) / C.H_BAR) * (2 / 3)),
+        qV0=jnp.float32(C.Q_C * 1.6),
+        dE_step=jnp.float32(C.Q_C * 0.01),
+        ctol=jnp.float32(C.Q_C * 0.01),
+        nn=jnp.float32(3.5),
+        lattice=jnp.asarray(lattice, jnp.float32),
+        pbc=False,
+        n_int_steps=64,
+    )
+    ones = jnp.ones(n, bool)
+    posj, cbj, xj = jnp.asarray(pos), jnp.asarray(cb), jnp.asarray(x)
+
+    # --- host f64 oracle: the exact WKB block (src/current_solver.cpp:
+    # 135-154 branch rule) so stored-path and fly-path errors can be
+    # attributed independently (XLA lowers x**1.5 to exp(1.5*log x) on
+    # TPU; the fly kernels spell it x*sqrt(x) — both are compared to
+    # the correctly-rounded numpy value, not to each other)
+    def oracle_T(pa, cba, oka, pb, cbb, okb, window=False):
+        pa, pb = pa.astype(np.float64), pb.astype(np.float64)
+        cba, cbb = cba.astype(np.float64), cbb.astype(np.float64)
+        d = pa[:, None, :] - pb[None, :, :]
+        dist = np.sqrt((d * d).sum(-1))
+        abs_dE = np.abs(cba[:, None] - cbb[None, :])
+        elig = (oka[:, None] & okb[None, :] & (abs_dE > float(env["ctol"]))
+                & ~(dist < float(env["nn"])))
+        safe = np.where(elig, abs_dE, 1.0)
+        s = float(env["prefac"]) * (dist * 1e-10) / safe
+        qV0 = float(env["qV0"])
+
+        def branch(E1):
+            E2 = E1 - safe
+            return np.where(
+                E2 > 0,
+                np.exp(s * (E1 ** 1.5 - np.where(E2 > 0, E2, 0.0) ** 1.5)),
+                np.where(E2 < 0, np.exp(s * E1 ** 1.5), 0.0),
+            )
+
+        if window:
+            acc = np.zeros_like(s)
+            for kk in range(env["n_int_steps"]):
+                iv = kk * float(env["dE_step"])
+                acc += np.where(iv < safe, _branch_at(s, qV0 + iv, safe), 0.0)
+            T = acc
+        else:
+            T = branch(qV0)
+        return np.where(elig, -T, 0.0)
+
+    def _branch_at(s, E1, safe):
+        E2 = E1 - safe
+        return np.where(
+            E2 > 0,
+            np.exp(s * (E1 ** 1.5 - np.where(E2 > 0, E2, 0.0) ** 1.5)),
+            np.where(E2 < 0, np.exp(s * E1 ** 1.5), 0.0),
+        )
+
+    ones_np = np.ones(n, bool)
+    T_exact = oracle_T(pos, cb, ones_np, pos, cb, ones_np)
+    x64 = x.astype(np.float64)
+
+    T_stored = np.asarray(
+        tunnel_block(env, posj, cbj, ones, posj, cbj, ones, wkb_single_T)
+    ).astype(np.float64)
+
+    errs = {}
+
+    def rel(a, b):
+        return float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-300))
+
+    # context line: how far the STORED path itself sits from the oracle on
+    # this backend (not gated — it is the baseline the blocks always carry)
+    errs["stored_block(ctx)"] = rel(T_stored, T_exact)
+
+    y_exact = T_exact @ x64
+    y_fly = np.asarray(wkb_fly_matvec(posj, cbj, xj, env, interpret=interp))
+    errs["matvec"] = rel(y_fly, y_exact)
+    y_sym = np.asarray(wkb_fly_matvec(posj, cbj, xj, env, interpret=interp,
+                                      symmetric=True))
+    errs["matvec_sym"] = rel(y_sym, y_exact)
+
+    X = rng.standard_normal((n, 8)).astype(np.float32)
+    Y_exact = T_exact @ X.astype(np.float64)
+    Y_fly = np.asarray(wkb_fly_matmat(posj, cbj, jnp.asarray(X), env,
+                                      interpret=interp))
+    errs["matmat"] = rel(Y_fly, Y_exact)
+
+    ms = np.abs(x64)
+    dM = ms[:, None] - ms[None, :]
+    I_cal = T_exact * dM
+    fwd = I_cal < 0                     # Vd = 1 > 0
+    r_exact = (np.where(fwd, -I_cal, 0.0) * (-dM)).sum(1)
+    r_fly = np.asarray(wkb_fly_pdisp(posj, cbj, jnp.abs(xj), 1.0, env,
+                                     interpret=interp))
+    errs["pdisp"] = rel(r_fly, r_exact)
+
+    nv = 96
+    vpos = (rng.random((nv, 3)) * lattice).astype(np.float32)
+    vcb = (rng.random(nv) * C.Q_C * 2 - C.Q_C).astype(np.float32)
+    v_ok_np = np.arange(nv) < nv - 5
+    Tw_exact = oracle_T(vpos, vcb, v_ok_np, pos, cb, ones_np, window=True)
+    T_w = np.asarray(wkb_window_block(
+        jnp.asarray(vpos), jnp.asarray(vcb), jnp.asarray(v_ok_np),
+        posj, cbj, env, interpret=interp,
+    ))
+    errs["window"] = rel(T_w, Tw_exact)
+
+    # gate: every fly kernel must sit within 10x of the stored path's own
+    # f32 distance from the oracle (regression canary, not a precision
+    # spec — a Mosaic lowering bug shows up orders of magnitude out)
+    tol = max(1e-5, 10.0 * errs["stored_block(ctx)"])
+    gated = {k: v for k, v in errs.items() if not k.endswith("(ctx)")}
+    ok = all(e <= tol for e in gated.values())
+    for k, e in sorted(errs.items()):
+        status = "" if k.endswith("(ctx)") else (
+            " OK" if e <= tol else " FAIL"
+        )
+        print(f"# selftest {k}: max rel err vs f64 oracle {e:.2e}{status}",
+              file=sys.stderr)
+    print(f"# selftest gate: {tol:.2e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "fly_selftest_max_rel_err",
+        "value": max(gated.values()),
+        "unit": "rel",
+        "vs_baseline": 1.0 if ok else 0.0,
+    }))
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
@@ -379,6 +539,9 @@ def main():
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
                          "1 = classic per-step dispatch)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="on-device fly-vs-stored WKB parity check (real "
+                         "Mosaic when a TPU is present) and exit")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -414,6 +577,9 @@ def main():
                   "600 s (axon relay session wedged?) — rerun later or "
                   "use --cpu", file=sys.stderr)
             sys.exit(1)
+
+    if args.selftest:
+        sys.exit(run_selftest())
 
     from devicekmc_tpu.superstep import superstep_impl
 

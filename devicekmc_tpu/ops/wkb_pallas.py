@@ -160,10 +160,16 @@ def _mm_kernel(sc_ref, px_ref, py_ref, pz_ref, cb_ref, x_ref, o_ref,
             pz_ref[0, pl.ds(c0, BC)], cb_ref[0, pl.ds(c0, BC)], pbc=pbc,
         )
         xt = x_ref[:, pl.ds(c0, BC)]                     # [K, BC]
-        # [K, BR] <- [K, BC] x [BR, BC]^T contraction on the MXU
+        # [K, BR] <- [K, BC] x [BR, BC]^T contraction on the MXU.
+        # precision=HIGHEST: the MXU's DEFAULT f32 contraction is a single
+        # bf16 pass (~2e-3 relative — measured by bench.py --selftest on
+        # real Mosaic, round 5); the entries cost ~30 VPU flops + 1 exp
+        # each, so the extra MXU passes are noise while restoring the
+        # ~1e-6 f32 accuracy contract of the fly kernels
         return acc + jax.lax.dot_general(
             xt, vals, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     acc = jax.lax.fori_loop(0, n_c, body, jnp.zeros((K, BR), jnp.float32))

@@ -73,6 +73,8 @@ def _replicated_state_specs() -> dict:
         potential_charge=P(), CB_edge=P(), power=P(), temperature=P(),
         T_bg=P(), key=P(), kmc_time=P(), I_macro=P(), P_tot=P(),
         virtual_potentials=P(), step_count=P(), cvac_prev=P(), Vd_prev=P(),
+        boundary_r=P(), boundary_b=P(),
+        trans_elem_prev=P(), trans_charge_prev=P(), transport_Vd_prev=P(),
     )
 
 

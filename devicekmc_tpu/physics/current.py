@@ -1160,10 +1160,13 @@ def _reuse_transport_metrics(
         "contact_potential_drop": jnp.abs(v[nsi] - Vd).astype(dtype),
     }
     if blocked:
-        metrics["transport_rel0"] = jnp.asarray(0.0, dtype)
-        # 0 is safe: the identical network's requirement was checked when
-        # it was last solved; the driver takes a max over steps
-        metrics["tunnel_int_steps_needed"] = jnp.asarray(0, jnp.int32)
+        # -1 sentinels: distinguish "skipped" from "converged instantly"
+        # in per-step logs (ADVICE r4).  Safe for every consumer: the
+        # driver takes a max over steps for the trip-count growth check
+        # (the identical network's requirement was verified when it was
+        # last solved), and the bench only prints these.
+        metrics["transport_rel0"] = jnp.asarray(-1.0, dtype)
+        metrics["tunnel_int_steps_needed"] = jnp.asarray(-1, jnp.int32)
     if params.solve_heating_global or params.solve_heating_local:
         metrics["Total dissipated power [mW]"] = state.P_tot.astype(dtype) * 1e3
     return metrics

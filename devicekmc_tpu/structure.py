@@ -471,7 +471,17 @@ def make_crossbar_structure(
                 else:
                     ox_ix = ix - nx_contact
                     in_bar = False
-                    if bar_pitch > 0 and ox_ix % bar_x_pitch < 2:
+                    # bar planes are phase-offset into the oxide interior
+                    # and kept >= 2 planes (2a > nn_dist) clear of both
+                    # plate contacts: a contact-adjacent bar plane would
+                    # fuse galvanically to the plate through nn
+                    # metal-metal high_G links, inflating effective
+                    # contact area instead of volume-scaling interior
+                    # metal (ADVICE r4)
+                    if (
+                        bar_pitch > 0 and 2 <= ox_ix <= nx_oxide - 3
+                        and (ox_ix - bar_x_pitch // 2) % bar_x_pitch < 2
+                    ):
                         # bar plane pair; orientation alternates per pair
                         along_y = (ox_ix // bar_x_pitch) % 2 == 0
                         t = iz if along_y else iy

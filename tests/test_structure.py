@@ -191,6 +191,16 @@ def test_make_crossbar_structure_interior_bars():
 
     # no x-spanning short: every bar plane pair is separated from the
     # next metal x-plane by > nn_dist of pure oxide
+    # ADVICE r4: interior bars must stay > nn_dist clear of BOTH plate
+    # contacts (contact-adjacent metal fuses galvanically to the plates
+    # through nn high_G links, inflating effective contact area) — checked
+    # over the full oxide window, no x filter that could hide edge planes
+    nn_dist = 3.5
+    xm_int = x[is_m & (x > ox_lo - 0.5 * a) & (x < ox_hi - 0.01)]
+    assert xm_int.size > 0
+    assert (xm_int - (ox_lo - a)).min() > nn_dist   # clear of source plate
+    assert (ox_hi - xm_int).min() > nn_dist         # clear of drain plate
+
     mx = np.unique(np.round(x[is_m] / a).astype(int))
     ox_planes = [p for p in mx if ox_lo / a < p < ox_hi / a - 0.5]
     runs, cur = [], [ox_planes[0]]

@@ -69,7 +69,10 @@ def test_skip_trajectory_identical_perturb_off():
     # the skip actually fired: steps 1+ report the reuse sentinel while the
     # no-skip run re-certifies with a real (0-iteration) solve
     assert all(int(m["cg_iters_power"]) == 0 for m in m_on[1:])
-    assert float(m_on[1]["transport_rel0"]) == 0.0 if "transport_rel0" in m_on[1] else True
+    if "transport_rel0" in m_on[1]:
+        # -1 sentinel: "skipped", not "converged instantly" (ADVICE r4)
+        assert float(m_on[1]["transport_rel0"]) == -1.0
+        assert int(m_on[1]["tunnel_int_steps_needed"]) == -1
     # currents logged on skipped steps equal the solved ones
     for a, b in zip(m_on, m_off):
         np.testing.assert_allclose(
@@ -118,6 +121,58 @@ def test_skip_invalidated_by_element_change():
     np.testing.assert_array_equal(
         np.asarray(state2.I_macro), np.asarray(state.I_macro)
     )
+
+
+def test_skip_blocked_path_branch_avals():
+    """The blocked operator's skip: jitting superstep_impl with
+    transport='blocked' exercises the lax.cond branch-aval match for the
+    blocked-only metrics (transport_rel0 / tunnel_int_steps_needed, with
+    their mixed dtypes) — previously verified by inspection only
+    (ADVICE r4).  Also asserts skip-on == skip-off trajectories."""
+    def build(skip):
+        s = make_test_structure(nx_contact=2, nx_oxide=6, ny=3, nz=3, seed=3)
+        cfg = KMCConfig(
+            lattice=list(s.lattice), nn_dist=3.0, pbc=False,
+            num_atoms_first_layer=s.num_atoms_first_layer,
+            num_layers_contact=s.num_layers_contact,
+            num_atoms_contact=s.num_atoms_contact,
+            layers=s.layers,
+            solve_potential=True, solve_current=True,
+            solve_heating_global=True,
+            perturb_structure=False,
+            transport="blocked", tunnel_vac_cap=16, precision="mixed",
+            transport_skip_unchanged=skip,
+            A=6.25e-19,
+        )
+        elems = s.elements.copy()
+        rng = np.random.default_rng(7)
+        oxide = np.nonzero(elems == int(Element.O))[0]
+        elems[rng.choice(oxide, size=8, replace=False)] = int(Element.VACANCY)
+        geom = build_geometry(elems, s.coords, cfg)
+        return geom, build_params(cfg), init_state(geom, cfg, elems)
+
+    def run(skip):
+        geom, params, state = build(skip)
+        heat = heat_mod.empty_heat_model(params)
+        step = jax.jit(superstep_impl)
+        ms = []
+        for _ in range(3):
+            state, _, m = step(geom, params, heat, state, 2.0)
+            ms.append(m)
+        return state, ms
+
+    st_on, m_on = run(True)
+    st_off, m_off = run(False)
+    for f in ("element", "I_macro", "P_tot", "virtual_potentials"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_on, f)), np.asarray(getattr(st_off, f)), f
+        )
+    # steps 1+ took the reuse branch: sentinel metrics, 0 iters
+    assert all(int(m["cg_iters_power"]) == 0 for m in m_on[1:])
+    assert float(m_on[1]["transport_rel0"]) == -1.0
+    assert int(m_on[1]["tunnel_int_steps_needed"]) == -1
+    # the solve steps of the no-skip run report real diagnostics
+    assert int(m_off[1]["tunnel_int_steps_needed"]) >= 0
 
 
 def test_direct_calls_never_skip():
