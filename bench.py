@@ -271,6 +271,98 @@ def build_synthetic_crossbar_sim(
     return geom, params, heat_mod.empty_heat_model(params), state
 
 
+def make_phased_step(chunk: int):
+    """Phase-per-dispatch superstep with CHUNKED in-superstep re-solves.
+
+    At 500k+ sites a single fused-superstep dispatch can exceed the axon
+    relay's ~2-minute kill when a post-event boundary or transport
+    re-solve goes cold-ish (the round-4 750k blocker).  This driver runs
+    each phase as its own dispatch and replaces the two unbounded CG
+    solves with host loops of bounded-maxiter segments (restarted CG —
+    more total iterations, every dispatch short):
+
+      charge | boundary (chunked) | Poisson | events |
+      transport pre-solve (chunked, commits warm start + incremental
+      tunnel store) | power (final converged dispatch, extraction) | heat
+
+    Converged results equal the fused path to solver tolerance (restarted
+    CG changes the iterate path, not the fixed point).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from devicekmc_tpu.engine import (
+        _phase_boundary, _phase_charge, _phase_events, _phase_heat,
+        _phase_poisson, _phase_power_chunk,
+    )
+
+    def step(geom, params, heat, state, Vd, cc=None):
+        metrics = {}
+        pchunk = params.replace(solver_maxiter=chunk)
+        step_time = jnp.asarray(0.0, params.dtype)
+        if params.solve_potential:
+            state, m = _phase_charge(geom, state)
+            metrics.update(m)
+            total_b = 0
+            for _ in range(1000):
+                state, m = _phase_boundary(geom, pchunk, state, Vd)
+                it = int(m["cg_iters_boundary"])
+                total_b += it
+                if it < chunk:
+                    break
+                # defeat the exact-skip for the next segment (it would see
+                # an unchanged network and return the unconverged field)
+                state = state.replace(
+                    Vd_prev=jnp.full_like(state.Vd_prev, jnp.nan)
+                )
+            else:
+                raise RuntimeError("chunked boundary re-solve: no converge")
+            metrics.update(m)
+            metrics["cg_iters_boundary"] = total_b
+            state, m = _phase_poisson(geom, params, state)
+            metrics.update(m)
+        if params.perturb_structure:
+            res = _phase_events(geom, params, state)
+            state, step_time = res.state, res.step_time
+            metrics["n_events"] = res.n_events
+            metrics["n_active_rows"] = res.n_active
+        if params.solve_current:
+            total_t = 0
+            for _ in range(1000):
+                st, m = _phase_power_chunk(
+                    geom, params, state, Vd, cc=cc, cg_maxiter=chunk
+                )
+                rep = {"virtual_potentials": st.virtual_potentials}
+                if params.transport_incremental:
+                    # commit the (deterministic) incremental tunnel store
+                    # so later segments skip the full re-assembly
+                    rep.update(
+                        tt_slot_atom=st.tt_slot_atom, tt_vm=st.tt_vm,
+                        tt_vv=st.tt_vv, tt_valid=st.tt_valid,
+                    )
+                state = state.replace(**rep)
+                total_t += int(m["cg_iters_power"])
+                if bool(m["transport_converged"]):
+                    break
+            else:
+                raise RuntimeError("chunked transport re-solve: no converge")
+            # final converged dispatch: extraction (I_macro, power) from the
+            # committed warm start — a handful of iterations at most
+            state, m = _phase_power_chunk(
+                geom, params, state, Vd, cc=cc, cg_maxiter=chunk
+            )
+            total_t += int(m["cg_iters_power"])
+            metrics.update(m)
+            metrics["cg_iters_power"] = total_t
+            if params.solve_heating_global or params.solve_heating_local:
+                state, m = _phase_heat(geom, params, heat, state, step_time)
+                metrics.update(m)
+        jax.block_until_ready(state.element)
+        return state, step_time, metrics
+
+    return step
+
+
 def run_selftest() -> int:
     """On-device fly-vs-stored WKB parity (REAL Mosaic compile when a TPU
     is the default backend, interpret mode otherwise): one matvec, one
@@ -539,6 +631,25 @@ def main():
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
                          "1 = classic per-step dispatch)")
+    ap.add_argument("--phase-dispatch", type=int, default=0, metavar="CHUNK",
+                    help=">0: phase-per-dispatch superstep with chunked "
+                         "in-superstep boundary/transport re-solves "
+                         "(bounded-maxiter CG segments; keeps every "
+                         "dispatch under the ~2-min relay watchdog — the "
+                         "750k+ multi-step driver)")
+    ap.add_argument("--coarse-yz", type=int, default=1,
+                    help="transverse refinement of the transport deflation "
+                         "space: each x-slab splits into N^2 (y,z) blocks "
+                         "(captures smooth modes across the crossbar "
+                         "wires; targets the ~90-iteration charge-flip "
+                         "re-solves)")
+    ap.add_argument("--incremental", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="persistent vacancy tunnel blocks: reuse unchanged "
+                         "T_vm/T_vv rows across supersteps (bit-identical "
+                         "to from-scratch assembly; kills the ~85 ms "
+                         "re-assembly floor).  auto = on for single-device "
+                         "blocked transport while the store fits")
     ap.add_argument("--selftest", action="store_true",
                     help="on-device fly-vs-stored WKB parity check (real "
                          "Mosaic when a TPU is present) and exit")
@@ -594,6 +705,9 @@ def main():
             "pallas" if (on_tpu_default_device() and not args.mesh)
             else "jnp"
         )
+    if args.phase_dispatch > 0 and (args.mesh or args.batch > 1):
+        ap.error("--phase-dispatch is a single-device per-step driver "
+                 "(no --mesh/--batch)")
     if args.mesh:
         if (args.full and not args.synthetic_crossbar) or args.batch > 1:
             ap.error("--mesh covers the headline modules (no --full/--batch)")
@@ -644,6 +758,8 @@ def main():
 
     if args.poisson_kernel != "jnp":
         params = params.replace(poisson_kernel=args.poisson_kernel)
+    if args.coarse_yz > 1:
+        params = params.replace(coarse_yz=args.coarse_yz)
     if params.solve_current and params.transport == "blocked":
         from devicekmc_tpu.physics.current import resolve_transport_cc
 
@@ -653,6 +769,18 @@ def main():
         )
         params = params.replace(transport_cc=cc_mode)
         print(f"# transport_cc: {cc_mode} (n_mp={n_mp})", file=sys.stderr)
+        if not args.mesh:
+            from devicekmc_tpu.physics.current import (
+                resolve_transport_incremental,
+            )
+            from devicekmc_tpu.state import attach_tunnel_state
+
+            inc = resolve_transport_incremental(
+                args.incremental, params, n_mp
+            )
+            params = params.replace(transport_incremental=inc)
+            state = attach_tunnel_state(state, geom, params)
+            print(f"# transport_incremental: {inc}", file=sys.stderr)
     if args.band_kernel != "jnp":
         params = params.replace(transport_band_kernel=args.band_kernel)
     if args.vm_kernel != "jnp":
@@ -733,6 +861,8 @@ def main():
             last = {k: v[-1] for k, v in ms.items() if k != "active"}
             last["batch_events"] = ms["n_events"].sum()
             return st, dts[-1], last
+    elif args.phase_dispatch > 0:
+        step = make_phased_step(args.phase_dispatch)
     else:
         step = jax.jit(superstep_impl)
     # default bias: 5 V on the 9030-site reference device (--full), 1 V on

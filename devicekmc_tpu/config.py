@@ -194,6 +194,11 @@ class KMCConfig:
     boundary_delta_cap: int = 256          # max changed neutral-vacancy sites tracked per
                                            # superstep (overflow -> full solve, still exact)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
+    coarse_yz: int = 1                     # transverse refinement of the transport coarse
+                                           # space: each x-slab splits into coarse_yz^2
+                                           # (y, z) blocks (K_tot = slabs * yz^2); >1 lets
+                                           # deflation capture smooth modes that vary
+                                           # across the crossbar wires
     solver_chunk_iters: int = 0            # >0: pre-solve cold bias-start Laplace systems
                                            # as a host loop of bounded-maxiter CG dispatches
                                            # (keeps every dispatch under the axon relay's
@@ -246,6 +251,23 @@ class KMCConfig:
     tunnel_vm_kernel: str = "jnp"          # vacancy x metal window-integral assembly:
                                            # "jnp" | "pallas" (VMEM step loop,
                                            # ops/wkb_pallas.py; test-compiled w/ fallback)
+    transport_incremental: str = "auto"    # persistent vacancy tunnel blocks (blocked
+                                           # transport): keep T_vm/T_vv in SimState and on
+                                           # each solve GATHER unchanged rows from the
+                                           # previous block (row content depends only on
+                                           # the atom + the bias-start CB edge), recomputing
+                                           # only atoms that ENTERED the bucket — the ~85 ms
+                                           # per-superstep window-integral re-assembly
+                                           # (profile_transport_warm) drops to O(changed).
+                                           # Ascending bucket order is preserved, so the
+                                           # assembled operator is BIT-IDENTICAL to the
+                                           # from-scratch path.  "auto" = on for blocked
+                                           # single-device runs while the stored blocks fit
+                                           # (~512 MB); "on" | "off" force it
+    transport_delta_cap: int = 16          # incremental transport: max newly-entered bucket
+                                           # atoms recomputed per solve (static shape);
+                                           # overflow falls back to the full (still exact)
+                                           # re-assembly for that step
     transport_banded: bool = True          # blocked transport: replace the per-iteration
                                            # [Na x max_nn] neighbour gather with a static
                                            # banded-dense matvec over x-sorted atoms plus a
@@ -298,8 +320,8 @@ _INT_KEYS = {
     "num_atoms_first_layer", "num_layers_contact", "num_atoms_contact",
     "num_atoms_reservoir", "solver_maxiter", "max_events_per_superstep",
     "num_layers", "poisson_compact_cap", "active_rows_cap", "tunnel_vac_cap",
-    "tunnel_int_steps", "coarse_slabs", "solver_chunk_iters",
-    "boundary_delta_cap",
+    "tunnel_int_steps", "coarse_slabs", "coarse_yz", "solver_chunk_iters",
+    "boundary_delta_cap", "transport_delta_cap",
 }
 _FLOAT_KEYS = {
     "initial_vacancy_concentration", "nn_dist", "Icc", "Rs", "sigma",
@@ -317,6 +339,7 @@ _STR_KEYS = {
     "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
     "site_order", "poisson_kernel", "transport_band_kernel",
     "ell_gather_kernel", "transport_cc", "tunnel_vm_kernel",
+    "transport_incremental",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

@@ -279,6 +279,19 @@ class Simulation:
                     )
                     mode = "stored"
             self.params = self.params.replace(transport_cc=mode)
+        if cfg.solve_current and self.params.transport == "blocked" \
+                and mesh is None:
+            # persistent tunnel blocks: resolve "auto" now that the final
+            # vcap and n_mp are known, then size the state fields.  Halo
+            # runs keep it off (the halo path has its own transport).
+            inc = current_mod.resolve_transport_incremental(
+                getattr(cfg, "transport_incremental", "auto"),
+                self.params, int(self.geom.atom_metalp_idx.shape[0]),
+            )
+            self.params = self.params.replace(transport_incremental=inc)
+        from .state import attach_tunnel_state
+
+        self.state = attach_tunnel_state(self.state, self.geom, self.params)
         if self.params.poisson_kernel == "pallas":
             # the remote Mosaic compiler is not always available: test-compile
             # the kernel on a tiny problem and fall back to the jnp sweep
@@ -449,6 +462,18 @@ class Simulation:
         """(Re)jit the per-step and batched superstep entry points for the
         current params (called at init and after any compaction-cap
         growth)."""
+        if getattr(self.params, "transport_incremental", False):
+            # tunnel_vac_cap growth resizes the persistent tunnel blocks;
+            # a fresh (invalid) store makes the next solve a full rebuild
+            vcap = self.params.tunnel_vac_cap
+            if tuple(self.state.tt_vm.shape) != (
+                vcap, int(self.geom.atom_metalp_idx.shape[0])
+            ):
+                from .state import attach_tunnel_state
+
+                self.state = attach_tunnel_state(
+                    self.state, self.geom, self.params
+                )
         self._superstep = self._make(self.geom, self.params, self.heat)
         self._msuperstep = None
         if self._use_batched:
@@ -784,6 +809,11 @@ class Simulation:
             # certify an incremental skip)
             kw["Vd_prev"] = jnp.full_like(kw["Vd_prev"], jnp.nan)
         self.state = self.state.replace(**kw)
+        # persistent tunnel blocks are NOT checkpointed (their values are
+        # a pure function of the restored element/CB state — the ascending
+        # layout makes a full rebuild bit-identical); a live store may be
+        # from a later state, so invalidate it
+        self.state = self.state.replace(tt_valid=jnp.asarray(False))
         if caps and any(
             caps[k] != getattr(self.params, k) for k in caps
         ):
@@ -903,6 +933,10 @@ class Simulation:
                     self.state.transport_Vd_prev, jnp.nan
                 )
             )
+            if getattr(self.params, "transport_incremental", False):
+                # the new CB edge changes every tunnel entry: drop the
+                # persistent blocks (next solve rebuilds all rows)
+                self.state = self.state.replace(tt_valid=jnp.asarray(False))
             if resume_step == 0:
                 t0 = time.perf_counter()
                 if chunk > 0:

@@ -75,6 +75,7 @@ def _replicated_state_specs() -> dict:
         virtual_potentials=P(), step_count=P(), cvac_prev=P(), Vd_prev=P(),
         boundary_r=P(), boundary_b=P(),
         trans_elem_prev=P(), trans_charge_prev=P(), transport_Vd_prev=P(),
+        tt_slot_atom=P(), tt_vm=P(), tt_vv=P(), tt_valid=P(),
     )
 
 

@@ -381,6 +381,136 @@ def tunnel_block(env, pa, cba, oka, pb, cbb, okb, kernel):
     return out.reshape(-1, C_cols)[:R]
 
 
+#: transport_incremental="auto": largest persistent (T_vm + T_vv) footprint
+#: [bytes] for which the blocks are kept in SimState.  Above this the
+#: per-step state residency (2x transiently, no donation) outweighs the
+#: assembly saving — at such scales the solve itself costs seconds and the
+#: ~85 ms assembly floor is no longer the bottleneck.
+TT_INCR_MAX_BYTES = 512 << 20
+
+
+def resolve_transport_incremental(
+    mode: str, params: PhysParams, n_mp: int
+) -> bool:
+    """Resolve config transport_incremental ('auto'|'on'|'off') to a bool
+    once the final tunnel_vac_cap and n_mp are known (see
+    state.attach_tunnel_state)."""
+    if mode == "off":
+        return False
+    vcap = params.tunnel_vac_cap
+    eligible = (
+        params.solve_current and params.transport == "blocked"
+        and vcap > 0 and n_mp > 0
+    )
+    if not eligible:
+        if mode == "on":
+            raise ValueError(
+                "transport_incremental='on' requires solve_current with "
+                "transport='blocked' and tunnel_vac_cap > 0"
+            )
+        return False
+    if mode == "on":
+        return True
+    itemsize = 4 if (params.mixed or params.dtype == jnp.float32) else 8
+    return vcap * (n_mp + vcap) * itemsize <= TT_INCR_MAX_BYTES
+
+
+def _vm_block(env, vpos, vcb, v_ok, mpos, mcb, params, BR: int = None):
+    """The vacancy x metal_p window-integral block through the configured
+    kernel (params.tunnel_vm_kernel).  Shared by the full and incremental
+    assembly paths so their per-entry values are bit-identical."""
+    if getattr(params, "tunnel_vm_kernel", "jnp") == "pallas":
+        from ..ops.pairwise_pallas import on_tpu_default_device
+        from ..ops.wkb_pallas import wkb_window_block
+
+        kw = {} if BR is None else {"BR": BR}
+        return wkb_window_block(
+            vpos, vcb, v_ok, mpos, mcb, env,
+            interpret=not on_tpu_default_device(), **kw
+        ).astype(env["cdtype"])
+    ones_m = jnp.ones(mpos.shape[0], dtype=bool)
+    return tunnel_block(env, vpos, vcb, v_ok, mpos, mcb, ones_m,
+                        wkb_window_T)
+
+
+def _incremental_vacancy_blocks(
+    geom, params, state, vidx, v_ok, vpos, vcb, apos, acb, mpos, mcb, env,
+):
+    """Persistent-tunnel-block update (params.transport_incremental).
+
+    Row content of T_vm/T_vv depends only on (atom identity, the
+    bias-start CB edge): the ascending vacancy bucket is reproduced
+    exactly, rows for atoms already present in the previous bucket are
+    GATHERED from the stored blocks through the atom -> old-slot map, and
+    only atoms that ENTERED the bucket since the last solve (<= 1 per KMC
+    event; charge flips change nothing here) are recomputed — through the
+    same kernels the full assembly uses, so the assembled blocks are
+    BIT-IDENTICAL to the from-scratch path (same entries, same ascending
+    layout, same downstream summation order).  More than
+    transport_delta_cap new atoms (or an invalid store: first solve of a
+    bias point, cap growth, resume) falls back to the full re-assembly —
+    exact either way.
+
+    Returns (T_vm, T_vv, slot_atom_new).
+    """
+    from ..ops.compact import nonzero_fixed
+
+    vcap = params.tunnel_vac_cap
+    ccap = params.transport_delta_cap
+    Na = geom.N_atom
+    cdtype = env["cdtype"]
+    slot_atom_new = jnp.where(v_ok, vidx, -1)
+
+    prev = state.tt_slot_atom                      # [vcap] atom ids, -1 free
+    amap = jnp.full(Na, -1, dtype=jnp.int32).at[
+        jnp.where(prev >= 0, prev, Na)
+    ].set(jnp.arange(vcap, dtype=jnp.int32), mode="drop")
+    src_slot = jnp.where(v_ok, amap[vidx], -1)
+    have = v_ok & (src_slot >= 0) & state.tt_valid
+    need = v_ok & ~have
+    need_idx, n_need = nonzero_fixed(need, ccap, fill_value=0)
+    use_partial = state.tt_valid & (n_need <= ccap)
+
+    BRp = max(8, -(-ccap // 8) * 8)
+
+    def partial(_):
+        t_live = (
+            jnp.arange(ccap, dtype=jnp.int32) < jnp.minimum(n_need, ccap)
+        )
+        atoms_t = jnp.where(t_live, vidx[need_idx], 0)
+        pos_t = apos[atoms_t]
+        cb_t = acb[atoms_t]
+        rows_vm = _vm_block(env, pos_t, cb_t, t_live, mpos, mcb, params,
+                            BR=BRp)
+        rows_vv = tunnel_block(
+            env, pos_t, cb_t, t_live, vpos, vcb, v_ok, wkb_single_T
+        )
+        sg = jnp.clip(src_slot, 0, max(vcap - 1, 0))
+        vm = jnp.where(
+            have[:, None], state.tt_vm[sg], jnp.asarray(0.0, cdtype)
+        )
+        vv = jnp.where(
+            have[:, None] & have[None, :],
+            state.tt_vv[sg][:, sg], jnp.asarray(0.0, cdtype),
+        )
+        scat = jnp.where(t_live, need_idx, vcap)
+        vm = vm.at[scat].set(rows_vm, mode="drop")
+        vv = vv.at[scat].set(rows_vv, mode="drop")
+        # symmetric column write; (need x need) entries are written twice
+        # with bit-equal values (dist/|dE| are exactly symmetric)
+        vv = vv.at[:, scat].set(rows_vv.T, mode="drop")
+        return vm, vv
+
+    def full(_):
+        vm = _vm_block(env, vpos, vcb, v_ok, mpos, mcb, params)
+        vv = tunnel_block(env, vpos, vcb, v_ok, vpos, vcb, v_ok,
+                          wkb_single_T)
+        return vm, vv
+
+    T_vm, T_vv = jax.lax.cond(use_partial, partial, full, None)
+    return T_vm, T_vv, slot_atom_new
+
+
 def assemble_cc_block(geom: Geometry, params: PhysParams, state: SimState):
     """The metal_p x metal_p (c2c) tunnel block alone.
 
@@ -407,23 +537,40 @@ def assemble_transport_cache(geom: Geometry, params: PhysParams, state: SimState
 
 
 def _coarse_restriction(geom: Geometry, params: PhysParams):
-    """0/1 aggregation matrix R [K, Nsub]: K x-slabs over the atoms of the
+    """0/1 aggregation matrix R [K_tot, Nsub] over the atoms of the
     grounded subsystem — the deflation basis of the A-DEF2 transport
-    preconditioner.  The two virtual nodes belong to NO aggregate
-    (their index K maps to a zero one-hot row): their loop_G~1e15 rows
-    would put kappa(E) near 1e20, beyond any floating inverse — measured
-    to corrupt warm starts when they were included — while Jacobi already
-    handles them perfectly."""
+    preconditioner.  Aggregates are ``coarse_slabs`` x-slabs, optionally
+    refined ``coarse_yz``-ways in each transverse direction (K_tot =
+    slabs * yz^2): the crossbar's slow modes vary along y/z (parallel
+    word/bit lines), which x-slab-only vectors cannot represent — the
+    round-5 fix for the ~90-iteration globally-smooth charge-flip
+    re-solves.  The two virtual nodes belong to NO aggregate (their index
+    maps to a zero one-hot row): their loop_G~1e15 rows would put
+    kappa(E) near 1e20, beyond any floating inverse — measured to corrupt
+    warm starts when they were included — while Jacobi already handles
+    them perfectly."""
     K = params.coarse_slabs
+    Q = max(1, getattr(params, "coarse_yz", 1))
     Na = geom.N_atom
-    ax = geom.coords[geom.atom_ind][: Na - 1, 0].astype(params.dtype)
-    xmin, xmax = jnp.min(ax), jnp.max(ax)
-    slab = jnp.clip(
-        ((ax - xmin) / jnp.maximum(xmax - xmin, 1e-30) * K).astype(jnp.int32),
-        0, K - 1,
+    apos = geom.coords[geom.atom_ind][: Na - 1].astype(params.dtype)
+
+    def bins(c, nb):
+        lo, hi = jnp.min(c), jnp.max(c)
+        return jnp.clip(
+            ((c - lo) / jnp.maximum(hi - lo, 1e-30) * nb).astype(jnp.int32),
+            0, nb - 1,
+        )
+
+    slab = bins(apos[:, 0], K)
+    agg = slab
+    K_tot = K
+    if Q > 1:
+        agg = (slab * Q + bins(apos[:, 1], Q)) * Q + bins(apos[:, 2], Q)
+        K_tot = K * Q * Q
+    agg = jnp.concatenate(
+        [jnp.asarray([K_tot, K_tot], dtype=jnp.int32), agg]
     )
-    agg = jnp.concatenate([jnp.asarray([K, K], dtype=jnp.int32), slab])
-    return jax.nn.one_hot(agg, K, dtype=params.dtype).T
+    return jax.nn.one_hot(agg, K_tot, dtype=params.dtype).T
 
 
 # _cholesky_small / _cholesky_solve_identity / _invert_coarse moved to
@@ -505,18 +652,16 @@ def assemble_X_blocks(
                             wkb_single_T)
     if _cc_only:
         return dict(T_cc=T_cc)
-    T_vv = tunnel_block(env, vpos, vcb, v_ok, vpos, vcb, v_ok, wkb_single_T)
-    if getattr(params, "tunnel_vm_kernel", "jnp") == "pallas":
-        from ..ops.pairwise_pallas import on_tpu_default_device
-        from ..ops.wkb_pallas import wkb_window_block
-
-        T_vm = wkb_window_block(
-            vpos, vcb, v_ok, mpos, mcb, env,
-            interpret=not on_tpu_default_device(),
-        ).astype(cdtype)
+    tt_slot_new = None
+    if getattr(params, "transport_incremental", False):
+        T_vm, T_vv, tt_slot_new = _incremental_vacancy_blocks(
+            geom, params, state, vidx, v_ok, vpos, vcb, apos, acb,
+            mpos, mcb, env,
+        )
     else:
-        T_vm = tunnel_block(env, vpos, vcb, v_ok, mpos, mcb, ones_m,
-                            wkb_window_T)
+        T_vv = tunnel_block(env, vpos, vcb, v_ok, vpos, vcb, v_ok,
+                            wkb_single_T)
+        T_vm = _vm_block(env, vpos, vcb, v_ok, mpos, mcb, params)
 
     # exactness check for the static integration trip count: the number of
     # dE_step windows the widest eligible (vac, metal_p) pair needs
@@ -567,6 +712,7 @@ def assemble_X_blocks(
         src_vals=src_vals, gnd_vals=gnd_vals,
         loop_G=loop_G, diag=diag,
         int_steps_needed=int_steps_needed,
+        tt_slot_atom=tt_slot_new,
     )
     if cc_fly:
         # everything the on-the-fly kernels need to re-derive cc entries
@@ -1114,6 +1260,14 @@ def update_power_blocked(
         P_tot=P_tot,
         virtual_potentials=new_vp,
     )
+    if blk.get("tt_slot_atom") is not None:
+        # persist the (bit-exact) incremental tunnel blocks for the next
+        # solve (params.transport_incremental)
+        new_state = new_state.replace(
+            tt_slot_atom=blk["tt_slot_atom"],
+            tt_vm=blk["T_vm"], tt_vv=blk["T_vv"],
+            tt_valid=jnp.asarray(True),
+        )
     n_vac_atoms = jnp.sum(
         state.element[geom.atom_ind] == int(Element.VACANCY), dtype=jnp.int32
     )

@@ -180,8 +180,15 @@ class PhysParams:
     # (lax.fori over energy steps — one HBM pass over the block per step)
     # | "pallas" (step loop in VMEM per tile, ops/wkb_pallas.py)
     tunnel_vm_kernel: str = struct.field(pytree_node=False, default="jnp")
+    # persistent vacancy tunnel blocks (see SimState.tt_*): resolved bool
+    # — drivers resolve config "auto" via
+    # current.resolve_transport_incremental once caps/n_mp are known, then
+    # size the state fields with state.attach_tunnel_state
+    transport_incremental: bool = struct.field(pytree_node=False, default=False)
+    transport_delta_cap: int = struct.field(pytree_node=False, default=16)
     ell_gather_kernel: str = struct.field(pytree_node=False, default="jnp")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
+    coarse_yz: int = struct.field(pytree_node=False, default=1)
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
     # volt of CB-edge spread.  The blocked path emits the needed count as a
@@ -240,6 +247,20 @@ class SimState:
     trans_elem_prev: Any     # [N_atom] int32: element[atom_ind] at last solve
     trans_charge_prev: Any   # [N_atom] int32: charge[atom_ind] at last solve
     transport_Vd_prev: Any   # scalar: bias at last transport solve
+
+    # persistent vacancy tunnel blocks (params.transport_incremental; sized
+    # by attach_tunnel_state, 0-shaped placeholders otherwise).  Row i of
+    # tt_vm/tt_vv is the WKB block row of the atom in ascending-bucket slot
+    # i at the LAST solve; entries depend only on (atom identity, the
+    # bias-start CB edge), so rows survive any superstep that does not
+    # change the vacancy set — the solver gathers them through the
+    # atom -> old-slot map and recomputes only newly-entered atoms
+    # (current.assemble_X_blocks, incremental branch).  tt_valid is
+    # cleared at bias boundaries (CB edge changes every entry).
+    tt_slot_atom: Any = None  # [vcap] int32: atom occupying slot, -1 empty
+    tt_vm: Any = None         # [vcap, n_mp] cdtype: window-integral block
+    tt_vv: Any = None         # [vcap, vcap] cdtype: single-shot block
+    tt_valid: Any = None      # scalar bool
 
 
 # ----------------------------------------------------------------------------
@@ -523,8 +544,13 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         transport_band_kernel=getattr(cfg, "transport_band_kernel", "jnp"),
         transport_cc=getattr(cfg, "transport_cc", "stored"),
         tunnel_vm_kernel=getattr(cfg, "tunnel_vm_kernel", "jnp"),
+        # transport_incremental stays False here: drivers resolve the
+        # config's "auto"/"on"/"off" once n_mp and the final vcap are known
+        # (current.resolve_transport_incremental + attach_tunnel_state)
+        transport_delta_cap=getattr(cfg, "transport_delta_cap", 16),
         ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
+        coarse_yz=getattr(cfg, "coarse_yz", 1),
         tunnel_int_steps=cfg.tunnel_int_steps,
         transport_skip_unchanged=getattr(
             cfg, "transport_skip_unchanged", True
@@ -595,6 +621,36 @@ def init_state(
         trans_elem_prev=jnp.full(geom.N_atom, -1, dtype=jnp.int32),
         trans_charge_prev=jnp.zeros(geom.N_atom, dtype=jnp.int32),
         transport_Vd_prev=jnp.asarray(jnp.nan, dtype=dtype),
+        tt_slot_atom=jnp.zeros(0, dtype=jnp.int32),
+        tt_vm=jnp.zeros((0, 0), dtype=jnp.float32),
+        tt_vv=jnp.zeros((0, 0), dtype=jnp.float32),
+        tt_valid=jnp.asarray(False),
+    )
+
+
+def attach_tunnel_state(
+    state: SimState, geom: Geometry, params: PhysParams
+) -> SimState:
+    """Size (or clear) the persistent tunnel-block fields for
+    ``params.transport_incremental``.  Call after every change to
+    tunnel_vac_cap — shapes are (vcap, n_mp).  Always returns an INVALID
+    block set (tt_valid=False): the next solve rebuilds every occupied
+    row, which is exactly the from-scratch assembly."""
+    if not getattr(params, "transport_incremental", False):
+        return state.replace(
+            tt_slot_atom=jnp.zeros(0, dtype=jnp.int32),
+            tt_vm=jnp.zeros((0, 0), dtype=jnp.float32),
+            tt_vv=jnp.zeros((0, 0), dtype=jnp.float32),
+            tt_valid=jnp.asarray(False),
+        )
+    cdtype = jnp.float32 if params.mixed else params.dtype
+    vcap = params.tunnel_vac_cap
+    n_mp = int(geom.atom_metalp_idx.shape[0])
+    return state.replace(
+        tt_slot_atom=jnp.full(vcap, -1, dtype=jnp.int32),
+        tt_vm=jnp.zeros((vcap, n_mp), dtype=cdtype),
+        tt_vv=jnp.zeros((vcap, vcap), dtype=cdtype),
+        tt_valid=jnp.asarray(False),
     )
 
 

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--cc-kernel", default="auto")
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--precision", default="mixed")
+    ap.add_argument("--incremental", default="off", choices=["on", "off"])
+    ap.add_argument("--coarse-yz", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -48,7 +50,16 @@ def main():
         )), params.dtype == jnp.float32 or args.precision == "mixed",
     ) if args.cc_kernel == "auto" else args.cc_kernel
     params = params.replace(transport_cc=mode)
-    print(f"# transport_cc={mode} precond={args.precond}", file=sys.stderr)
+    if args.coarse_yz > 1:
+        params = params.replace(coarse_yz=args.coarse_yz)
+    if args.incremental == "on":
+        from devicekmc_tpu.state import attach_tunnel_state
+
+        params = params.replace(transport_incremental=True)
+        state = attach_tunnel_state(state, geom, params)
+    print(f"# transport_cc={mode} precond={args.precond} "
+          f"incremental={args.incremental} coarse_yz={args.coarse_yz}",
+          file=sys.stderr)
 
     Vd = 1.0
     from devicekmc_tpu.physics.potential import solve_cb_edge
