@@ -93,7 +93,8 @@ def build_crossbar_sim(precision: str, pad_to: int = 1, site_order: str = "file"
 
 def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated",
                             bf16_inner: bool = False,
-                            pad_to: int = 1, site_order: str = "file"):
+                            pad_to: int = 1, site_order: str = "file",
+                            local_heat: bool = False):
     """FULL physics (charge + potentials + KMC + transport + heat) on the
     75,360-atom reference crossbar — beyond the reference's demonstrated
     envelope (its committed crossbar timing runs exclude the current solve;
@@ -112,7 +113,12 @@ def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"
         lattice=[108.98, 102.3, 102.3], nn_dist=3.5, pbc=False,
         num_atoms_first_layer=144, num_layers_contact=10,
         num_atoms_contact=11520,
-        solve_potential=True, solve_current=True, solve_heating_global=True,
+        solve_potential=True, solve_current=True,
+        # site-resolved local heating (matrix-free CG model) on demand —
+        # a regime the reference could not reach at crossbar scale (its
+        # dense interface inverse would be [88k]^2, heat_solver.cpp:40-246)
+        solve_heating_global=not local_heat,
+        solve_heating_local=local_heat, heat_solver="cg",
         perturb_structure=True, precision=precision,
         poisson_compact_cap=256, active_rows_cap=0,
         solver_tol=1e-8,
@@ -130,7 +136,26 @@ def build_full_crossbar_sim(precision: str, vd: float, precond: str = "deflated"
         A=102.3e-10 * 102.3e-10,
     )
     params = build_params(cfg)
-    return geom, params, heat_mod.empty_heat_model(params), state, cfg
+    if local_heat:
+        t0 = time.time()
+        from devicekmc_tpu.physics.heat import _num_in_contact_left
+
+        elems_np = np.asarray(state.element)
+        # symmetric plate-contact spans: the crossbar's interior metal
+        # (interconnect wires) must stay INSIDE the heat domain (see
+        # build_heat_model docstring)
+        n_l = _num_in_contact_left(elems_np, cfg.num_atoms_contact)
+        n_r = _num_in_contact_left(elems_np[::-1], cfg.num_atoms_contact)
+        heat = heat_mod.build_heat_model(
+            geom, params, cfg, elems_np,
+            np.asarray(geom.neigh_idx), method="cg",
+            contact_spans=(n_l, n_r),
+        )
+        print(f"# local-heat cg model: {heat.n_interface} interface sites "
+              f"({time.time()-t0:.1f}s build)", file=sys.stderr)
+    else:
+        heat = heat_mod.empty_heat_model(params)
+    return geom, params, heat, state, cfg
 
 
 TEST1_DIR = "/root/reference/depreciated/tests/1-potential"
@@ -194,7 +219,7 @@ def build_synthetic_sim(n_sites: int, precision: str):
 def build_synthetic_crossbar_sim(
     n_sites: int, precision: str, pad_to: int = 1, site_order: str = "file",
     full: bool = False, vd: float = 1.0, precond: str = "deflated",
-    substoich: float = 0.02, bar_pitch: int = 0,
+    substoich: float = 0.02, bar_pitch: int = 0, bar_x_pitch: int = 6,
 ):
     """Synthetic crossbar (structure.make_crossbar_structure) scaled to
     ~n_sites, same modules as the headline bench (charge + potentials +
@@ -222,7 +247,8 @@ def build_synthetic_crossbar_sim(
     col = 2 * nxc + nxo * (1 + f)
     ny = nz = max(8, int(round((n_sites / col) ** 0.5)))
     s = make_crossbar_structure(nx_contact=nxc, nx_oxide=nxo, ny=ny, nz=nz,
-                                seed=1, bar_pitch=bar_pitch)
+                                seed=1, bar_pitch=bar_pitch,
+                                bar_x_pitch=bar_x_pitch)
     elems = make_substoichiometric(s.elements, substoich, seed=5)
     extra = {}
     if full:
@@ -547,7 +573,15 @@ def main():
                          "via the blocked matrix-free transport operator")
     ap.add_argument("--vd", type=float, default=None)
     ap.add_argument("--precond", default="deflated", choices=["jacobi", "deflated"],
-                    help="blocked-transport CG preconditioning (full-crossbar)")
+                    help="blocked-transport COLD-solve CG preconditioning "
+                         "(full-crossbar)")
+    ap.add_argument("--warm-precond", default="jacobi",
+                    choices=["jacobi", "deflated"],
+                    help="IN-SUPERSTEP transport re-solve preconditioning "
+                         "(jacobi default: the adaptive inner tolerance "
+                         "leaves warm re-solves at 2-8 iterations, making "
+                         "the A-DEF2 setup pure overhead — measured "
+                         "0.486 -> 0.363 s/step on the full crossbar)")
     ap.add_argument("--bf16-inner", action="store_true",
                     help="store the static band + tunnel-block twins bf16 "
                          "for the f32 inner transport iterations "
@@ -607,6 +641,12 @@ def main():
                          "given y/z pitch (3D X-point composition; interior "
                          "metal scales with volume, the transport_cc=fly "
                          "design regime).  0 = plate contacts only")
+    ap.add_argument("--bars-x", type=int, default=6, metavar="XPITCH",
+                    help="interior-bar x-plane pitch (with --bars): every "
+                         "XPITCH-th oxide plane pair becomes a bar plane; "
+                         "3 = densest non-shorting packing (single-plane "
+                         "oxide gaps, 2a > nn_dist) — used to push n_mp "
+                         "past 100k for the cc=fly design-scale runs")
     ap.add_argument("--vm-kernel", default="jnp", choices=["jnp", "pallas"],
                     help="vacancy x metal window-integral assembly (pallas: "
                          "energy-step loop in VMEM per tile, TPU only)")
@@ -631,6 +671,12 @@ def main():
                     help="supersteps per device dispatch (amortizes the "
                          "transport's ~90 ms execution-latency floor; "
                          "1 = classic per-step dispatch)")
+    ap.add_argument("--local-heat", action="store_true",
+                    help="full-crossbar: replace the lumped global "
+                         "temperature with the SITE-RESOLVED local heat "
+                         "model (matrix-free CG, heat_solver=cg) — a "
+                         "regime the reference's dense interface inverse "
+                         "([88k]^2 at this scale) cannot reach")
     ap.add_argument("--phase-dispatch", type=int, default=0, metavar="CHUNK",
                     help=">0: phase-per-dispatch superstep with chunked "
                          "in-superstep boundary/transport re-solves "
@@ -736,6 +782,7 @@ def main():
             args.precision, vd0, precond=args.precond,
             bf16_inner=args.bf16_inner,
             pad_to=pad_to, site_order=site_order,
+            local_heat=args.local_heat,
         )
     elif args.synthetic_crossbar:
         geom, params, heat, state = build_synthetic_crossbar_sim(
@@ -743,7 +790,7 @@ def main():
             pad_to=pad_to, site_order=site_order,
             full=args.full, vd=args.vd if args.vd is not None else 1.0,
             precond=args.precond, substoich=args.substoich,
-            bar_pitch=args.bars,
+            bar_pitch=args.bars, bar_x_pitch=args.bars_x,
         )
     elif args.full:
         geom, params, heat, state = build_full_physics_sim(args.precision)
@@ -760,6 +807,8 @@ def main():
         params = params.replace(poisson_kernel=args.poisson_kernel)
     if args.coarse_yz > 1:
         params = params.replace(coarse_yz=args.coarse_yz)
+    if params.solve_current:
+        params = params.replace(transport_warm_precond=args.warm_precond)
     if params.solve_current and params.transport == "blocked":
         from devicekmc_tpu.physics.current import resolve_transport_cc
 

@@ -194,6 +194,16 @@ class KMCConfig:
     boundary_delta_cap: int = 256          # max changed neutral-vacancy sites tracked per
                                            # superstep (overflow -> full solve, still exact)
     coarse_slabs: int = 16                 # number of x-slab aggregates for "deflated"
+    transport_warm_precond: str = "jacobi" # IN-SUPERSTEP transport re-solve preconditioning
+                                           # ("jacobi" | "deflated").  With the adaptive
+                                           # inner tolerance the warm re-solves take 2-8
+                                           # Jacobi iterations (the smooth charge-flip
+                                           # rounds only need a ~3x reduction), so the
+                                           # A-DEF2 setup (~24 ms/step) is pure overhead
+                                           # there — while COLD bias-start solves keep
+                                           # transport_precond (deflated: 329 vs ~1000+
+                                           # iterations).  Measured r5: crossbar median
+                                           # 0.486 -> 0.363 s/step
     coarse_yz: int = 1                     # transverse refinement of the transport coarse
                                            # space: each x-slab splits into coarse_yz^2
                                            # (y, z) blocks (K_tot = slabs * yz^2); >1 lets
@@ -339,7 +349,7 @@ _STR_KEYS = {
     "transport", "transport_precond", "boundary_precond", "bc_pinned_width",
     "site_order", "poisson_kernel", "transport_band_kernel",
     "ell_gather_kernel", "transport_cc", "tunnel_vm_kernel",
-    "transport_incremental",
+    "transport_incremental", "transport_warm_precond",
 }
 # reference key name -> config field name
 _ALIASES = {"attempt_frequency": "freq"}

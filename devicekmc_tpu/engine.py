@@ -111,10 +111,19 @@ def make_superstep(geom: Geometry, params: PhysParams, heat):
     return superstep
 
 
-def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
+def make_modular_superstep(
+    geom: Geometry, params: PhysParams, heat, chunk_iters: int = 0
+):
     """Per-phase superstep with host syncs between phases, emitting the
     reference's per-module timing keys (src/kmc_main.cpp:272-277,
-    consumed by the timing postprocessing)."""
+    consumed by the timing postprocessing).
+
+    ``chunk_iters > 0`` additionally replaces the two unbounded
+    in-superstep CG solves (boundary re-solve, transport re-solve) with
+    host loops of bounded-maxiter segments (restarted CG) so no single
+    device dispatch runs long — the 500k+ multi-step driver (pair with
+    ``cfg.solver_chunk_iters`` for the bias-start cold solves).
+    Converged results equal the fused path to solver tolerance."""
 
     def superstep(state: SimState, Vd, cc=None):
         metrics: Dict = {}
@@ -131,10 +140,34 @@ def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
         if params.solve_potential:
             state, m = timed("charge", _phase_charge, geom, state)
             metrics.update(m)
-            state, m = timed(
-                "potential from boundaries", _phase_boundary,
-                geom, params, state, Vd,
-            )
+            if chunk_iters > 0:
+                t0 = time.perf_counter()
+                pchunk = params.replace(solver_maxiter=chunk_iters)
+                total_b = 0
+                for _ in range(1000):
+                    state, m = _phase_boundary(geom, pchunk, state, Vd)
+                    it = int(m["cg_iters_boundary"])
+                    total_b += it
+                    if it < chunk_iters:
+                        break
+                    # defeat the exact-skip for the next segment (it would
+                    # see an unchanged network and return the unconverged
+                    # field)
+                    state = state.replace(
+                        Vd_prev=jnp.full_like(state.Vd_prev, jnp.nan)
+                    )
+                else:
+                    raise RuntimeError(
+                        "chunked boundary re-solve failed to converge"
+                    )
+                m["cg_iters_boundary"] = jnp.asarray(total_b, jnp.int32)
+                metrics["Z - calculation time - potential from boundaries "
+                        "[s]"] = time.perf_counter() - t0
+            else:
+                state, m = timed(
+                    "potential from boundaries", _phase_boundary,
+                    geom, params, state, Vd,
+                )
             metrics.update(m)
             state, m = timed(
                 "potential from charges", _phase_poisson, geom, params, state
@@ -146,11 +179,49 @@ def make_modular_superstep(geom: Geometry, params: PhysParams, heat):
             res = timed("kmc events", _phase_events, geom, params, state)
             state, step_time = res.state, res.step_time
             metrics["n_events"] = res.n_events
+            metrics["n_active_rows"] = res.n_active
 
         if params.solve_current:
-            (state, m) = timed(
-                "dissipated power", _phase_power, geom, params, state, Vd, cc
-            )
+            if chunk_iters > 0:
+                # pre-converge the transport network in bounded segments,
+                # committing the warm start (+ the deterministic
+                # incremental tunnel store) between dispatches; the final
+                # timed dispatch does the extraction from a converged start
+                t0 = time.perf_counter()
+                total_t = 0
+                for _ in range(1000):
+                    st, m = _phase_power_chunk(
+                        geom, params, state, Vd, cc=cc,
+                        cg_maxiter=chunk_iters,
+                    )
+                    rep = {"virtual_potentials": st.virtual_potentials}
+                    if getattr(params, "transport_incremental", False):
+                        rep.update(
+                            tt_slot_atom=st.tt_slot_atom, tt_vm=st.tt_vm,
+                            tt_vv=st.tt_vv, tt_valid=st.tt_valid,
+                        )
+                    state = state.replace(**rep)
+                    total_t += int(m["cg_iters_power"])
+                    if bool(m["transport_converged"]):
+                        break
+                else:
+                    raise RuntimeError(
+                        "chunked transport re-solve failed to converge"
+                    )
+                state, m = _phase_power_chunk(
+                    geom, params, state, Vd, cc=cc, cg_maxiter=chunk_iters
+                )
+                m["cg_iters_power"] = jnp.asarray(
+                    total_t + int(m["cg_iters_power"]), jnp.int32
+                )
+                metrics["Z - calculation time - dissipated power [s]"] = (
+                    time.perf_counter() - t0
+                )
+            else:
+                (state, m) = timed(
+                    "dissipated power", _phase_power, geom, params, state,
+                    Vd, cc,
+                )
             metrics.update(m)
             if params.solve_heating_global or params.solve_heating_local:
                 state, m = timed(
@@ -431,8 +502,14 @@ class Simulation:
             from .parallel.sharding import make_sharded_superstep
 
             self._make = lambda g, p, h: make_sharded_superstep(g, p, h, mesh)
+        elif fused:
+            self._make = make_superstep
         else:
-            self._make = make_superstep if fused else make_modular_superstep
+            # modular mode chains to the chunked in-superstep re-solves
+            # when cfg.solver_chunk_iters is set (the 500k+ driver)
+            self._make = lambda g, p, h: make_modular_superstep(
+                g, p, h, chunk_iters=getattr(cfg, "solver_chunk_iters", 0)
+            )
         self._use_batched = (
             getattr(cfg, "batch_steps", 1) > 1 and fused and mesh is None
         )

@@ -1078,6 +1078,7 @@ def update_power_blocked(
     cg_tol: float = None,
     cg_maxiter: int = 20000,
     cc=None,
+    precond: str = None,
 ) -> Tuple[SimState, Dict]:
     """update_power with the blocked matrix-free operator (transport="blocked").
 
@@ -1123,7 +1124,7 @@ def update_power_blocked(
     d = diag[:Nsub]
 
     x_init = state.virtual_potentials[:Nsub]
-    deflate = params.transport_precond == "deflated"
+    deflate = (precond or params.transport_precond) == "deflated"
     if deflate:
         Zhat, W, esolve = _deflation_ops(geom, params, blk, d)
     if params.mixed:
@@ -1347,11 +1348,19 @@ def update_power(
     if cg_tol is None:
         cg_tol = params.transport_tol
     blocked = params.transport == "blocked" and method != "direct"
+    # the superstep path (allow_skip=True) is the WARM path: its re-solves
+    # use transport_warm_precond (jacobi default — with the adaptive inner
+    # tolerance they take 2-8 iterations, so the A-DEF2 setup is pure
+    # overhead); cold pre-solves keep transport_precond (deflated)
+    warm_precond = (
+        getattr(params, "transport_warm_precond", None)
+        if allow_skip else None
+    )
     if blocked:
         def solve_fn(st):
             return update_power_blocked(
                 geom, params, st, Vd, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-                cc=cc,
+                cc=cc, precond=warm_precond,
             )
     else:
         def solve_fn(st):

@@ -90,16 +90,30 @@ def build_heat_model(
     elements: np.ndarray,
     neigh_idx: np.ndarray,
     method: str = "dense",
+    contact_spans=None,
 ) -> HeatModel:
     """Host-side precompute of the interface Laplacian inverses
     (reference: constructLaplacian, src/heat_solver.cpp:40-246); with
-    ``method="cg"`` only the graph metadata is prepared (no dense work)."""
+    ``method="cg"`` only the graph metadata is prepared (no dense work).
+
+    ``contact_spans``: optional (n_left, n_right) site-span override.  The
+    reference's span rule counts ``n_metals - num_atoms_contact`` metals
+    from the right (src/heat_solver.cpp:21-34) — correct for its single
+    devices, where every metal belongs to a contact, but wrong for
+    crossbars with interior metal (word/bit lines), where it swallows the
+    whole device into the "right contact".  Crossbar-scale callers pass
+    symmetric spans instead."""
     n = len(elements)
-    n_metals = int(
-        np.asarray(geom.metal_mask_table)[elements].sum()
-    )
-    n_left = _num_in_contact_left(elements, cfg.num_atoms_contact)
-    n_right = _num_in_contact_right(elements, n_metals - cfg.num_atoms_contact)
+    if contact_spans is not None:
+        n_left, n_right = contact_spans
+    else:
+        n_metals = int(
+            np.asarray(geom.metal_mask_table)[elements].sum()
+        )
+        n_left = _num_in_contact_left(elements, cfg.num_atoms_contact)
+        n_right = _num_in_contact_right(
+            elements, n_metals - cfg.num_atoms_contact
+        )
     ni = n - n_left - n_right
 
     index_map = np.full(n, -1, dtype=np.int64)
@@ -114,12 +128,14 @@ def build_heat_model(
     if method == "cg":
         interface_mask = np.zeros(n, dtype=bool)
         interface_mask[interface_idx] = True
-        metal_adj = np.zeros(n, dtype=bool)
-        for i in interface_idx:
-            for j in neigh_idx[i]:
-                if j >= 0 and metal_table[elements[j]]:
-                    metal_adj[i] = True
-                    break
+        # vectorised metal-adjacency (a Python neighbour loop takes minutes
+        # at crossbar scale): site i is bath-coupled iff any neighbour is
+        # a metal element
+        nb_ok = neigh_idx >= 0
+        metal_nb = (
+            metal_table[elements[np.where(nb_ok, neigh_idx, 0)]] & nb_ok
+        ).any(axis=1)
+        metal_adj = metal_nb & interface_mask
         diag_base = np.where(metal_adj, -gamma, 0.0)
         z = jnp.zeros((0, 0), dtype=dtype)
         return HeatModel(

@@ -189,6 +189,9 @@ class PhysParams:
     ell_gather_kernel: str = struct.field(pytree_node=False, default="jnp")
     coarse_slabs: int = struct.field(pytree_node=False, default=16)
     coarse_yz: int = struct.field(pytree_node=False, default=1)
+    transport_warm_precond: str = struct.field(
+        pytree_node=False, default="jacobi"
+    )
     # static trip count of the contact->trap energy-window integration;
     # exact while >= ceil(max |dE_CB| / (q * 0.01 V)) — i.e. ~100 steps per
     # volt of CB-edge spread.  The blocked path emits the needed count as a
@@ -551,6 +554,9 @@ def build_params(cfg: KMCConfig) -> PhysParams:
         ell_gather_kernel=getattr(cfg, "ell_gather_kernel", "jnp"),
         coarse_slabs=cfg.coarse_slabs,
         coarse_yz=getattr(cfg, "coarse_yz", 1),
+        transport_warm_precond=getattr(
+            cfg, "transport_warm_precond", "jacobi"
+        ),
         tunnel_int_steps=cfg.tunnel_int_steps,
         transport_skip_unchanged=getattr(
             cfg, "transport_skip_unchanged", True

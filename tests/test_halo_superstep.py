@@ -124,6 +124,60 @@ def test_halo_superstep_9k_reference_device_full_physics(tmp_path):
     )
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/depreciated/tests/1-potential"),
+    reason="reference structure not available",
+)
+def test_halo_superstep_9k_reference_device_local_heat(tmp_path):
+    """The 9030-site reference device with SITE-RESOLVED local heating
+    (matrix-free CG model) — halo vs single-device equivalence at real
+    scale (VERDICT r4 item 5; the small-structure variant lives in
+    _full_physics_pair below)."""
+    from devicekmc_tpu.config import parse_parameters
+
+    src = "/root/reference/depreciated/tests/1-potential"
+    cfg = parse_parameters(os.path.join(src, "parameters.txt"))
+    cfg.restart_xyz_file = os.path.join(src, "snapshot_init.xyz")
+    cfg.perturb_structure = True
+    cfg.t_switch = [1.0]
+    cfg.active_rows_cap = 0
+    cfg.solve_current = True
+    cfg.solve_heating_global = False
+    cfg.solve_heating_local = True
+    cfg.heat_solver = "cg"
+    cfg.delta_t = 1e-14
+    cfg.A = 7.17e-18
+    cfg.transport = "blocked"
+
+    d1 = tmp_path / "single"; d1.mkdir()
+    cfg.output_dir = str(d1)
+    sim1 = Simulation(cfg)
+    sim1.run_bias_point(20.0, 1.0, max_steps=2)
+
+    d2 = tmp_path / "halo"; d2.mkdir()
+    cfg.output_dir = str(d2)
+    sim2 = Simulation(cfg, mesh=_mesh(), decomposition="halo")
+    sim2.run_bias_point(20.0, 1.0, max_steps=2)
+
+    nr = sim1.geom.N_real
+    np.testing.assert_array_equal(
+        np.asarray(sim1.state.element)[:nr], np.asarray(sim2.state.element)[:nr]
+    )
+    # the local model actually resolved a temperature field (not the
+    # uniform background)
+    t1 = np.asarray(sim1.state.temperature)[:nr]
+    assert t1.std() > 0
+    np.testing.assert_allclose(
+        np.asarray(sim2.state.temperature)[:nr], t1, rtol=1e-6, atol=1e-6
+    )
+    assert float(sim2.state.T_bg) == pytest.approx(
+        float(sim1.state.T_bg), rel=1e-8
+    )
+    assert float(sim2.state.I_macro) == pytest.approx(
+        float(sim1.state.I_macro), rel=1e-5
+    )
+
+
 def test_halo_rejects_oversized_halo(tmp_path):
     """Bandwidth > slab size must be rejected loudly."""
     s = make_test_structure(nx_contact=2, nx_oxide=4, ny=8, nz=8, seed=1)

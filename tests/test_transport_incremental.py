@@ -97,28 +97,44 @@ def test_incremental_trajectory_identical():
 
 
 def test_incremental_store_matches_full_assembly():
-    """After several churn steps the persistent store equals a from-scratch
-    assembly of the same state, entry for entry."""
-    geom, params, state, _ = _run(True)
-    # jitted reference: eager op-by-op execution rounds differently than
-    # the fused XLA program (~1 f32 ulp); the contract is equality of the
-    # compiled computations
-    blk_full = jax.jit(
-        lambda s: current_mod.assemble_X_blocks(
-            geom, params.replace(transport_incremental=False), s
+    """At every churn step the partial update equals the full rebuild of
+    the same state, entry for entry — exercised through the SAME compiled
+    superstep program via an invalidated-store twin (tt_valid=False takes
+    the full-rebuild branch).  [A standalone jitted-assembly reference
+    compiled at this point in the suite reproducibly segfaults XLA:CPU's
+    backend_compile — jaxlib environment bug, values verified identical
+    when it does compile.]"""
+    geom, params, state, _ = _run(True, n_steps=2)
+    heat = heat_mod.empty_heat_model(params)
+    step = jax.jit(superstep_impl)
+    nan_prev = jnp.full_like(state.transport_Vd_prev, jnp.nan)
+    churned = 0
+    for _ in range(4):
+        st_full, _, _ = step(
+            geom, params, heat,
+            state.replace(tt_valid=jnp.asarray(False),
+                          transport_Vd_prev=nan_prev), 8.0,
         )
-    )(state)
-    np.testing.assert_array_equal(
-        np.asarray(state.tt_vm), np.asarray(blk_full["T_vm"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(state.tt_vv), np.asarray(blk_full["T_vv"])
-    )
+        state, _, m = step(
+            geom, params, heat,
+            state.replace(transport_Vd_prev=nan_prev), 8.0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.tt_vm), np.asarray(st_full.tt_vm)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.tt_vv), np.asarray(st_full.tt_vv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.tt_slot_atom), np.asarray(st_full.tt_slot_atom)
+        )
+        churned += int(m["n_events"])
+    assert churned >= 1                      # the bucket actually churned
     # and the store is marked valid with the ascending bucket recorded
     assert bool(state.tt_valid)
     sa = np.asarray(state.tt_slot_atom)
     occ = sa[sa >= 0]
-    assert (np.diff(occ) > 0).all()          # ascending, unique
+    assert occ.size == 0 or (np.diff(occ) > 0).all()   # ascending, unique
 
 
 def test_incremental_delta_cap_overflow_falls_back():
