@@ -279,7 +279,7 @@ def build_synthetic_crossbar_sim(
     base.update(extra)
     cfg = KMCConfig(**base)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    bar_tag = f"_bars{bar_pitch}" if bar_pitch else ""
+    bar_tag = f"_bars{bar_pitch}x{bar_x_pitch}" if bar_pitch else ""
     cache = os.path.join(CACHE_DIR, f"nb_syncb_{len(elems)}{bar_tag}.npz")
     if os.path.exists(cache):
         neigh_idx = np.load(cache)["neigh_idx"]
