@@ -318,8 +318,8 @@ def make_phased_step(chunk: int):
     import jax.numpy as jnp
 
     from devicekmc_tpu.engine import (
-        _phase_boundary, _phase_charge, _phase_events, _phase_heat,
-        _phase_poisson, _phase_power_chunk,
+        _phase_boundary, _phase_charge, _phase_events,
+        _phase_poisson, _phase_power_chunk, run_heat_phase_chunked,
     )
 
     def step(geom, params, heat, state, Vd, cc=None):
@@ -381,7 +381,12 @@ def make_phased_step(chunk: int):
             metrics.update(m)
             metrics["cg_iters_power"] = total_t
             if params.solve_heating_global or params.solve_heating_local:
-                state, m = _phase_heat(geom, params, heat, state, step_time)
+                # local-cg heat runs as bounded-substep dispatches (the
+                # transient can need ~1000 CG substeps when the KMC step
+                # time approaches 1e3*delta_t)
+                state, m = run_heat_phase_chunked(
+                    geom, params, heat, state, step_time
+                )
                 metrics.update(m)
         jax.block_until_ready(state.element)
         return state, step_time, metrics

@@ -94,6 +94,56 @@ def _phase_heat(geom, params, heat, state, step_time):
     return heat_mod.update_temperature(geom, params, heat, state, step_time)
 
 
+# bounded-substep pieces of the matrix-free LOCAL heat model, for
+# phase-per-dispatch drivers (the in-superstep transient can need ~1000
+# CG substeps — unbounded, that single dispatch exceeds the relay
+# watchdog at crossbar scale)
+@jax.jit
+def _phase_heat_window(geom, params, heat, state, temp, n_sub):
+    return heat_mod.local_cg_transient_window(
+        geom, params, heat, state, temp, n_sub
+    )
+
+
+@jax.jit
+def _phase_heat_steady(geom, params, heat, state, temp):
+    return heat_mod.local_cg_steady(geom, params, heat, state, temp)
+
+
+@jax.jit
+def _phase_heat_finish(geom, params, state, temp):
+    return heat_mod.finish_local_temperature(geom, params, state, temp)
+
+
+#: transient local-heat substeps per dispatch in chunked/phased drivers
+HEAT_SUBSTEPS_PER_DISPATCH = 64
+
+
+def run_heat_phase_chunked(geom, params, heat, state, step_time):
+    """Local-cg heat phase as bounded-substep dispatches (host loop);
+    falls through to the single-dispatch path for the global/dense
+    models.  Returns (state, metrics)."""
+    if not (
+        params.solve_heating_local and not params.solve_heating_global
+        and heat is not None and heat.method == "cg" and heat.n_interface
+    ):
+        return _phase_heat(geom, params, heat, state, step_time)
+    st_f = float(step_time)
+    dt = float(params.delta_t)
+    temp = state.temperature
+    if st_f > 1e3 * dt:
+        temp = _phase_heat_steady(geom, params, heat, state, temp)
+    else:
+        n_sub = int(st_f / dt) + 1
+        W = HEAT_SUBSTEPS_PER_DISPATCH
+        for k0 in range(0, n_sub, W):
+            temp = _phase_heat_window(
+                geom, params, heat, state, temp,
+                jnp.asarray(min(W, n_sub - k0), jnp.int32),
+            )
+    return _phase_heat_finish(geom, params, state, temp)
+
+
 def make_superstep(geom: Geometry, params: PhysParams, heat):
     """Build the fused jitted superstep: all enabled phases in one XLA
     program.  Returns (state, step_time, metrics).
@@ -224,10 +274,16 @@ def make_modular_superstep(
                 )
             metrics.update(m)
             if params.solve_heating_global or params.solve_heating_local:
-                state, m = timed(
-                    "temperature", _phase_heat, geom, params, heat, state,
-                    step_time,
-                )
+                if chunk_iters > 0:
+                    state, m = timed(
+                        "temperature", run_heat_phase_chunked,
+                        geom, params, heat, state, step_time,
+                    )
+                else:
+                    state, m = timed(
+                        "temperature", _phase_heat, geom, params, heat,
+                        state, step_time,
+                    )
                 metrics.update(m)
 
         return state, step_time, metrics

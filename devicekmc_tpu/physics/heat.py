@@ -302,6 +302,93 @@ def _laplacian_apply(geom: Geometry, heat: HeatModel, x):
     return jnp.where(mask, diag * x + off, 0.0)
 
 
+def _local_cg_setup(geom, params, heat, state, tol, maxiter):
+    """Shared pieces of the matrix-free local model."""
+    T0 = params.background_temp
+    scale = C.T_1 - T0
+    mask = heat.interface_mask
+    p_t_full = jnp.where(
+        mask, _p_transfer(params, state.element), 0.0
+    ).astype(params.dtype)
+    P_full = jnp.where(mask, state.power, 0.0)
+    return T0, scale, mask, p_t_full, P_full
+
+
+def local_cg_transient_window(
+    geom: Geometry,
+    params: PhysParams,
+    heat: HeatModel,
+    state: SimState,
+    temp,
+    n_sub,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+):
+    """Run ``n_sub`` (traced int) transient substeps of the matrix-free
+    local model on the temperature field ``temp`` and return it.  Used by
+    phase-per-dispatch drivers to bound a single dispatch's substep count
+    (the in-superstep transient can need ~1000 substeps when the KMC step
+    time approaches 1e3*delta_t — unbounded, that single dispatch exceeds
+    the relay watchdog at crossbar scale)."""
+    from ..ops.cg import cg_solve
+
+    T0, scale, mask, p_t_full, P_full = _local_cg_setup(
+        geom, params, heat, state, tol, maxiter
+    )
+    s = heat.step_scale
+
+    def matvec(x):
+        return jnp.where(mask, x - s * _laplacian_apply(geom, heat, x), 0.0)
+
+    def body(carry):
+        temp, k = carry
+        t_vec = jnp.where(mask, (temp - T0) / scale, 0.0)
+        rhs = jnp.where(mask, t_vec + P_full * p_t_full * s, 0.0)
+        res = cg_solve(matvec, rhs, x0=t_vec, tol=tol, maxiter=maxiter)
+        temp = jnp.where(mask, res.x * scale + T0, temp)
+        return temp, k + 1
+
+    temp, _ = jax.lax.while_loop(
+        lambda c: c[1] < n_sub, body, (temp, jnp.asarray(0, jnp.int32))
+    )
+    return temp
+
+
+def local_cg_steady(
+    geom: Geometry,
+    params: PhysParams,
+    heat: HeatModel,
+    state: SimState,
+    temp,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+):
+    """The steady-state branch of the matrix-free local model
+    (L T_tr = P*p_t solved as SPD (-L) T_tr = -P*p_t)."""
+    from ..ops.cg import cg_solve
+
+    T0, scale, mask, p_t_full, P_full = _local_cg_setup(
+        geom, params, heat, state, tol, maxiter
+    )
+
+    def matvec(x):
+        return jnp.where(mask, -_laplacian_apply(geom, heat, x), 0.0)
+
+    rhs = jnp.where(mask, -P_full * p_t_full, 0.0)
+    res = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter)
+    return jnp.where(mask, -res.x * scale + T0, temp)
+
+
+def finish_local_temperature(geom: Geometry, params: PhysParams, state, temp):
+    """Common tail of the local model: inner-region average -> T_bg."""
+    inner = geom.inner_mask
+    T_bg = jnp.sum(jnp.where(inner, temp, 0.0)) / jnp.sum(inner)
+    new_state = state.replace(
+        temperature=temp.astype(params.dtype), T_bg=T_bg.astype(params.dtype)
+    )
+    return new_state, {"Global temperature [K]": T_bg}
+
+
 def update_temperature_local_cg(
     geom: Geometry,
     params: PhysParams,
@@ -315,55 +402,20 @@ def update_temperature_local_cg(
     transient substep solves (I - dt*tau*L) T' = rhs with CG (the reference
     instead precomputes the dense inverse, src/heat_solver.cpp:151-191);
     the steady-state branch solves L T = -P*p_t."""
-    from ..ops.cg import cg_solve
-
-    dtype = params.dtype
-    T0 = params.background_temp
-    scale = C.T_1 - T0
-    mask = heat.interface_mask
-    p_t_full = jnp.where(
-        mask, _p_transfer(params, state.element), 0.0
-    ).astype(dtype)
-    P_full = jnp.where(mask, state.power, 0.0)
-    s = heat.step_scale
 
     def transient(temp):
         n_sub = jnp.floor(step_time / params.delta_t).astype(jnp.int32) + 1
-
-        def matvec(x):
-            return jnp.where(mask, x - s * _laplacian_apply(geom, heat, x), 0.0)
-
-        def body(carry):
-            temp, k = carry
-            t_vec = jnp.where(mask, (temp - T0) / scale, 0.0)
-            rhs = jnp.where(mask, t_vec + P_full * p_t_full * s, 0.0)
-            res = cg_solve(matvec, rhs, x0=t_vec, tol=tol, maxiter=maxiter)
-            temp = jnp.where(mask, res.x * scale + T0, temp)
-            return temp, k + 1
-
-        temp, _ = jax.lax.while_loop(
-            lambda c: c[1] < n_sub, body, (temp, jnp.asarray(0, jnp.int32))
+        return local_cg_transient_window(
+            geom, params, heat, state, temp, n_sub, tol, maxiter
         )
-        return temp
 
     def steady(temp):
-        # L T_tr = P*p_t  ->  solve with -L (SPD): (-L) T_tr = -P*p_t
-        def matvec(x):
-            return jnp.where(mask, -_laplacian_apply(geom, heat, x), 0.0)
-
-        rhs = jnp.where(mask, -P_full * p_t_full, 0.0)
-        res = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter)
-        return jnp.where(mask, -res.x * scale + T0, temp)
+        return local_cg_steady(geom, params, heat, state, temp, tol, maxiter)
 
     temp = jax.lax.cond(
         step_time > 1e3 * params.delta_t, steady, transient, state.temperature
     )
-    inner = geom.inner_mask
-    T_bg = jnp.sum(jnp.where(inner, temp, 0.0)) / jnp.sum(inner)
-    new_state = state.replace(
-        temperature=temp.astype(dtype), T_bg=T_bg.astype(dtype)
-    )
-    return new_state, {"Global temperature [K]": T_bg}
+    return finish_local_temperature(geom, params, state, temp)
 
 
 def update_temperature(
